@@ -1,0 +1,57 @@
+"""YAML config loading with the reference's two-file merge convention.
+
+Mirrors ``getYamlConfig(cfg_yml, datafiles_yml)`` from the reference
+(/root/reference/utils/myparser.py:29-34): a model/dataset config file plus an
+optional datafile-list file are merged (later file wins per top-level key) and
+returned — here as an immutable :class:`FrozenConfig` instead of an EasyDict.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import yaml
+
+from crowdmod_tpu.config.frozen import FrozenConfig
+
+
+def config_dir() -> Path:
+    """Directory holding the bundled dataset configs (``configs/`` at repo root)."""
+    return Path(__file__).resolve().parents[2] / "configs"
+
+
+def _load_yaml(path: str | os.PathLike) -> dict:
+    p = Path(path)
+    if not p.exists():
+        # Fall back to the bundled configs directory for bare names.
+        candidate = config_dir() / p
+        if candidate.exists():
+            p = candidate
+        else:
+            raise FileNotFoundError(f"config file not found: {path}")
+    with open(p, "r") as f:
+        data = yaml.safe_load(f)
+    return data or {}
+
+
+def load_config(
+    config_yml_file: str | os.PathLike,
+    datafiles_yml_file: str | os.PathLike | None = None,
+    overrides: dict | None = None,
+) -> FrozenConfig:
+    """Load and merge config YAMLs into a FrozenConfig.
+
+    Args:
+      config_yml_file: dataset/model hyperparameter tree (e.g. ``ATC.yml``).
+      datafiles_yml_file: optional ``DATA_LIST`` file of ``[pkl, n_samples]``
+        pairs, merged on top (reference myparser.py:32-33 semantics).
+      overrides: optional final dict deep-merged on top (sweeps, tests).
+    """
+    merged = _load_yaml(config_yml_file)
+    cfg = FrozenConfig(merged)
+    if datafiles_yml_file is not None:
+        cfg = cfg.updated(_load_yaml(datafiles_yml_file))
+    if overrides:
+        cfg = cfg.updated(overrides)
+    return cfg

@@ -1,0 +1,83 @@
+"""Sliding-window dataset over macroproperty sequences.
+
+Rebuild of ``MacropropsDataset`` (/root/reference/utils/dataset.py:22-53): a
+``(N, T_raw, H, W, C)`` native-layout array is viewed as all windows of length
+``past_len + future_len`` starting every ``stride`` frames.  Instead of a
+Python ``__getitem__`` per example feeding worker processes, windows are
+materialized as a device-side gather: the raw array lives in HBM once, and a
+batch is ``raw[seq_idx, t_idx + arange(window)]`` — one fused gather per
+batch, no host↔device traffic in the epoch loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def window_indices(
+    num_seqs: int, total_len: int, window_len: int, stride: int
+) -> np.ndarray:
+    """``(num_windows, 2)`` array of (sequence index, start frame) pairs."""
+    starts = np.arange(0, total_len - window_len + 1, stride)
+    seqs = np.arange(num_seqs)
+    grid = np.stack(np.meshgrid(seqs, starts, indexing="ij"), axis=-1)
+    return grid.reshape(-1, 2)
+
+
+@dataclass
+class WindowDataset:
+    """Batched past/future windows over raw sequences, gathered on device."""
+
+    raw: jnp.ndarray  # (N, T_raw, H, W, C), device-resident
+    past_len: int
+    future_len: int
+    stride: int
+
+    def __post_init__(self):
+        n, t_raw = self.raw.shape[0], self.raw.shape[1]
+        self.indices = window_indices(
+            n, t_raw, self.past_len + self.future_len, self.stride
+        )
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def gather(self, idx: np.ndarray):
+        """Gather windows for flat window ids ``idx`` → (past, future)."""
+        sel = self.indices[np.asarray(idx)]
+        seq_idx = jnp.asarray(sel[:, 0])
+        t_idx = jnp.asarray(sel[:, 1])
+        window = self.past_len + self.future_len
+        offs = jnp.arange(window)
+        frames = t_idx[:, None] + offs[None, :]  # (B, window)
+        win = self.raw[seq_idx[:, None], frames]  # (B, window, H, W, C)
+        return win[:, : self.past_len], win[:, self.past_len :]
+
+    def batches(
+        self,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+    ) -> Iterator[tuple[jnp.ndarray, jnp.ndarray]]:
+        """One epoch of (past, future) batches.
+
+        Shuffling mirrors the reference DataLoader defaults
+        (configs/ATC.yml DATASET.params: shuffle + drop_last).
+        """
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        n_full = len(order) // batch_size
+        end = n_full * batch_size
+        for i in range(0, end, batch_size):
+            yield self.gather(order[i : i + batch_size])
+        if not drop_last and end < len(order):
+            yield self.gather(order[end:])

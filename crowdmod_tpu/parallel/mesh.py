@@ -1,0 +1,57 @@
+"""Device mesh and sharding helpers.
+
+The reference is strictly single-device (SURVEY.md §2.9); the scale-out story
+here is built TPU-first: a 2-D ``Mesh`` with axes ``("data", "model")``.
+Batch-dim data parallelism over "data" is the profitable axis at reference
+model scale (few-M-param UNet/DiT on 12×36 grids) — gradient all-reduce rides
+ICI and is inserted by XLA from the sharding annotations alone.  The "model"
+axis is used by the DiT tensor-parallel param rules
+(:mod:`crowdmod_tpu.parallel.sharding`) and defaults to size 1 on small hosts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int | None = None, model: int = 1, *, devices=None
+) -> Mesh:
+    """Build a ("data", "model") mesh over the available devices.
+
+    ``data=None`` uses all remaining devices on the data axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs {data * model} devices, have {n}")
+    grid = np.array(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of batch arrays with batch-dim sharding."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params/opt state) across the mesh."""
+    s = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
