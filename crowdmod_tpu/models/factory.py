@@ -79,4 +79,23 @@ def build_backbone(
             future_len=cfg.DATASET.FUTURE_LEN,
             **common,
         )
+    if arch == "ConvRNN":
+        from crowdmod_tpu.models.convrnn import CELLS, Forecaster
+
+        node = cfg.MODEL.CONVRNN
+        try:
+            cell = CELLS[node.CELL_CLASS]
+        except KeyError:
+            raise ValueError(
+                f"unknown cell class {node.CELL_CLASS!r}; expected {list(CELLS)}"
+            )
+        return Forecaster(
+            out_channels=mprops_count,
+            enc_hidden_channels=tuple(node.ENC_HIDDEN_CH),
+            forc_hidden_channels=tuple(node.FORC_HIDDEN_CH),
+            enc_kernels=tuple(node.ENC_KERNELS),
+            forc_kernels=tuple(node.FORC_KERNELS),
+            cell=cell,
+            dtype=dtype,
+        )
     raise ValueError(f"unknown arch {arch!r}; expected one of {ARCHS}")

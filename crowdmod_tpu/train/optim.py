@@ -23,14 +23,25 @@ def adam_with_plateau(
     betas: tuple[float, float] = (0.9, 0.999),
     weight_decay: float = 0.0,
     eps: float = 1e-8,
+    amsgrad: bool = False,
 ) -> optax.GradientTransformation:
-    """torch.optim.Adam-semantics optimizer with injectable learning rate."""
+    """torch.optim.Adam-semantics optimizer with injectable learning rate.
+
+    ``amsgrad=True`` matches the ConvRNN wrapper's Adam(amsgrad=True)
+    (reference models/convRNN/convRNN.py:50-54).
+    """
+
+    scale_by = (
+        optax.scale_by_amsgrad(b1=betas[0], b2=betas[1], eps=eps)
+        if amsgrad
+        else optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps)
+    )
 
     def make(learning_rate):
         return optax.chain(
             optax.add_decayed_weights(weight_decay) if weight_decay
             else optax.identity(),
-            optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
+            scale_by,
             optax.scale(-1.0 * learning_rate),
         )
 
