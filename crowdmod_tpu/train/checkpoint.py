@@ -1,0 +1,123 @@
+"""Checkpointing with explicit metadata.
+
+The reference pickles ``{"opt", "model"}`` state dicts and encodes run
+metadata in the *filename*, regex-parsing it back at metric time
+(/root/reference/utils/utils.py:120-167, models/diffusion/ddpm.py:343) — a
+scheme whose ``NA`` tag doesn't even match its own parser
+(SURVEY.md §7 bug list).  Here checkpoints are orbax directories holding the
+train-state pytree plus a ``metadata.json`` sidecar with the same fields as
+first-class keys; the reference's filename convention is still *produced*
+(``checkpoint_name``) so humans and comparison tooling can map runs 1:1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from crowdmod_tpu.config import FrozenConfig
+
+
+def checkpoint_name(cfg: FrozenConfig, arch: str, epoch: int | str) -> str:
+    """Reference-style run name (utils.py:120-147 semantics).
+
+    Tag field: 'NA' for DDPM, the FM W_TYPE, or the ConvRNN cell base name.
+    """
+    if arch in ("DDPM-UNet", "DDPM-DiT", "FM-UNet", "FM-DiT"):
+        family, backbone = arch.upper().split("-")
+        node = getattr(getattr(cfg.MODEL, family), backbone)
+        total_epochs = node.TRAIN.EPOCHS
+        tag = "NA" if family == "DDPM" else cfg.MODEL.FM.W_TYPE
+    elif arch == "ConvRNN":
+        total_epochs = cfg.MODEL.CONVRNN.TRAIN.EPOCHS
+        tag = cfg.MODEL.CONVRNN.CELL_CLASS[4:]  # strip 'Conv'
+    else:
+        raise ValueError(f"unknown arch {arch!r}")
+    return (
+        f"{arch}_{cfg.DATASET.NAME}_TE{total_epochs}"
+        f"_PL{cfg.DATASET.PAST_LEN}_FL{cfg.DATASET.FUTURE_LEN}"
+        f"_CE{epoch}_{tag}"
+    )
+
+
+def run_tag(cfg: FrozenConfig, arch: str, epoch: int | str) -> str:
+    """The metadata substring used in metric CSV filenames
+    (reference regex 'TE\\d+_PL\\d+_FL\\d+_CE\\d+_...', ddpm.py:343)."""
+    name = checkpoint_name(cfg, arch, epoch)
+    return name.split(f"{cfg.DATASET.NAME}_", 1)[1]
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(
+    directory: str | os.PathLike,
+    state: Any,
+    metadata: dict | None = None,
+) -> str:
+    """Save a train-state pytree + metadata.json under ``directory``."""
+    directory = Path(directory).absolute()
+    if directory.exists():
+        # orbax refuses to overwrite; mirror torch.save's replace semantics.
+        import shutil
+
+        shutil.rmtree(directory)
+    _checkpointer().save(directory, jax.device_get(state))
+    if metadata is not None:
+        with open(directory / "metadata.json", "w") as f:
+            json.dump(metadata, f, indent=2, default=str)
+    return str(directory)
+
+
+def load_checkpoint(directory: str | os.PathLike, template: Any | None = None):
+    """Restore ``(state, metadata)``; ``template`` restores exact pytree/dtype
+    structure (pass the freshly initialized state)."""
+    directory = Path(directory).absolute()
+    if template is not None:
+        import orbax.checkpoint as ocp
+
+        restored = _checkpointer().restore(
+            directory, item=jax.tree.map(np.asarray, jax.device_get(template))
+        )
+        # Preserve the template's tree classes (orbax may return dicts).
+        flat = jax.tree.leaves(restored)
+        restored = jax.tree.unflatten(jax.tree.structure(template), flat)
+    else:
+        restored = _checkpointer().restore(directory)
+    meta_path = directory / "metadata.json"
+    metadata = json.loads(meta_path.read_text()) if meta_path.exists() else None
+    return restored, metadata
+
+
+def build_metadata(cfg: FrozenConfig, arch: str, epoch: int | str,
+                   extra: dict | None = None) -> dict:
+    meta = {
+        "arch": arch,
+        "dataset": cfg.DATASET.NAME,
+        "total_epochs": None,
+        "past_len": cfg.DATASET.PAST_LEN,
+        "future_len": cfg.DATASET.FUTURE_LEN,
+        "epoch": epoch,
+        "name": checkpoint_name(cfg, arch, epoch),
+    }
+    if arch == "ConvRNN":
+        meta["total_epochs"] = cfg.MODEL.CONVRNN.TRAIN.EPOCHS
+        meta["cell"] = cfg.MODEL.CONVRNN.CELL_CLASS
+    else:
+        family, backbone = arch.upper().split("-")
+        meta["total_epochs"] = getattr(
+            getattr(cfg.MODEL, family), backbone
+        ).TRAIN.EPOCHS
+        if family == "FM":
+            meta["w_type"] = cfg.MODEL.FM.W_TYPE
+    if extra:
+        meta.update(extra)
+    return meta

@@ -1,0 +1,448 @@
+"""Unified training / sampling / evaluation orchestration.
+
+One ``Trainer`` replaces the reference's three near-identical model wrappers
+(``DDPM_model`` ddpm.py:40-392, ``FM_model`` flow_matching.py:14-346,
+``ConvRNN_model`` convRNN.py:22-316): family-specific pieces (loss, sampler)
+are selected once at construction; the epoch loop, NaN watchdog, plateau
+scheduler, checkpoint policy and tracking are shared.
+
+Reference behaviors kept:
+  * best-loss checkpoint tagged "000" + CHECKPOINTS_TO_KEEP random epochs in
+    the last 25% of training (ddpm.py:165-202);
+  * abort after 3 consecutive NaN epochs (ddpm.py:183-192);
+  * warm-start from a baseline checkpoint restores model params only, not
+    optimizer state (train.py:78, ddpm.py:160-163);
+  * sampling protocols: random past, same-past, fixed-past, and the
+    repeated-past chunk protocol for metrics (ddpm.py:295-318, 358-366).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+from typing import Iterable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from crowdmod_tpu.config import FrozenConfig
+from crowdmod_tpu.core.schedule import ddim_tau_schedule, linear_schedule
+from crowdmod_tpu.data.windows import WindowDataset
+from crowdmod_tpu.metrics.generator import MetricsEngine, compute_metrics
+from crowdmod_tpu.models import factory
+from crowdmod_tpu.models.convrnn import convrnn_loss
+from crowdmod_tpu.models.diffusion import ddim_sample, ddpm_loss, ddpm_sample
+from crowdmod_tpu.models.flow_matching import INTEGRATORS, fm_loss
+from crowdmod_tpu.train import checkpoint as ckpt
+from crowdmod_tpu.train.optim import (
+    PlateauState,
+    adam_with_plateau,
+    get_learning_rate,
+    set_learning_rate,
+)
+from crowdmod_tpu.train.state import TrainState, make_train_step
+from crowdmod_tpu.utils.tracker import RunTracker
+
+
+def _solver_node(cfg: FrozenConfig, arch: str):
+    if arch == "ConvRNN":
+        return cfg.MODEL.CONVRNN.TRAIN
+    return factory.backbone_cfg(cfg, arch).TRAIN
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: FrozenConfig,
+        arch: str,
+        mprops_count: int | None = None,
+        *,
+        mesh=None,
+        run_dir: str | None = None,
+        compute_dtype=None,
+        seed: int = 42,
+    ):
+        self.cfg = cfg
+        self.arch = arch
+        self.family = "ConvRNN" if arch == "ConvRNN" else arch.split("-")[0]
+        # ConvRNN models all 4 macroprops; generative models use 3
+        # (reference train.py:59).
+        self.mprops_count = (
+            mprops_count if mprops_count is not None
+            else (4 if arch == "ConvRNN" else 3)
+        )
+        if compute_dtype is None:
+            name = cfg.get_path("TPU.COMPUTE_DTYPE", "float32")
+            compute_dtype = (
+                jnp.bfloat16
+                if (name == "bfloat16" and jax.default_backend() == "tpu")
+                else jnp.float32
+            )
+        self.model = factory.build_backbone(
+            cfg, arch, self.mprops_count, dtype=compute_dtype
+        )
+        self.mesh = mesh
+        self.seed = seed
+        self.run_dir = run_dir or os.path.join(
+            cfg.DATA_FS.OUTPUT_DIR, "runs", arch
+        )
+
+        solver = _solver_node(cfg, arch).SOLVER
+        self.total_epochs = _solver_node(cfg, arch).EPOCHS
+        self.tx = adam_with_plateau(
+            solver.LR,
+            tuple(solver.BETAS),
+            solver.WEIGHT_DECAY,
+            amsgrad=(arch == "ConvRNN"),
+        )
+        self.plateau = PlateauState(
+            lr=solver.LR,
+            factor=solver.SCHEDULER.FACTOR,
+            patience=solver.SCHEDULER.PATIENCE,
+            min_lr=solver.SCHEDULER.MIN_LR,
+        )
+
+        if self.family == "DDPM":
+            self.sched = linear_schedule(
+                cfg.MODEL.DDPM.TIMESTEPS, scale=cfg.MODEL.DDPM.SCALE
+            )
+        else:
+            self.sched = None
+
+        self.state: TrainState | None = None
+        self._train_step = None
+
+    # ------------------------------------------------------------------
+    # Setup
+    # ------------------------------------------------------------------
+    def _grid_shapes(self):
+        c = self.cfg
+        return (
+            c.DATASET.PAST_LEN, c.DATASET.FUTURE_LEN,
+            c.MACROPROPS.ROWS, c.MACROPROPS.COLS,
+        )
+
+    def init_params(self, key=None):
+        p, f, h, w = self._grid_shapes()
+        key = key if key is not None else jax.random.PRNGKey(self.seed)
+        past = jnp.zeros((2, p, h, w, self.mprops_count))
+        future = jnp.zeros((2, f, h, w, self.mprops_count))
+        if self.arch == "ConvRNN":
+            return self.model.init(key, past, target=future, teacher_forcing=True)
+        return self.model.init(key, future, jnp.zeros((2,)), past)
+
+    def _loss_fn(self):
+        model, cfg = self.model, self.cfg
+        if self.family == "DDPM":
+            sched = self.sched
+
+            def loss(params, batch, key):
+                past, future = batch
+                dropout, step_key = jax.random.split(key)
+                denoise = lambda x, t, c: model.apply(
+                    params, x, t, c, deterministic=False,
+                    rngs={"dropout": dropout},
+                )
+                return ddpm_loss(denoise, sched, future, past, step_key)
+
+        elif self.family == "FM":
+            w_type = cfg.MODEL.FM.W_TYPE
+            tmax = cfg.MODEL.FM.TIME_MAX_POS
+
+            def loss(params, batch, key):
+                past, future = batch
+                dropout, step_key = jax.random.split(key)
+                u_fn = lambda x, t, c: model.apply(
+                    params, x, t, c, deterministic=False,
+                    rngs={"dropout": dropout},
+                )
+                return fm_loss(
+                    u_fn, future, past, step_key, w_type=w_type,
+                    time_max_pos=tmax,
+                )
+
+        else:  # ConvRNN
+            tf = bool(cfg.MODEL.CONVRNN.TEACHER_FORCING)
+            eps = cfg.MACROPROPS.EPS
+
+            def loss(params, batch, key):
+                past, future = batch
+                pred = model.apply(
+                    params, past, target=future, teacher_forcing=tf
+                )
+                rloss, vloss, _, _ = convrnn_loss(pred, future, eps)
+                return rloss + vloss  # alpha = 1 (convRNN.py:121-123)
+
+        return loss
+
+    def setup(self, baseline_ckpt: str | None = None):
+        params = self.init_params()
+        if baseline_ckpt:
+            restored, _ = ckpt.load_checkpoint(baseline_ckpt)
+            params = jax.tree.unflatten(
+                jax.tree.structure(params),
+                jax.tree.leaves(restored["params"]),
+            )
+            logging.info("baseline checkpoint loaded from %s", baseline_ckpt)
+        if self.mesh is not None:
+            from crowdmod_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, self.mesh)
+        self.state = TrainState.create(params, self.tx)
+        self._train_step = make_train_step(self._loss_fn(), donate=True)
+        return self
+
+    # ------------------------------------------------------------------
+    # Training
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        train_ds: WindowDataset,
+        val_ds: WindowDataset | None = None,
+        *,
+        baseline_ckpt: str | None = None,
+        epochs: int | None = None,
+        tracker: RunTracker | None = None,
+    ) -> dict:
+        if self.state is None:
+            self.setup(baseline_ckpt)
+        epochs = epochs or self.total_epochs
+        cfg = self.cfg
+        batch_size = cfg.DATASET.BATCH_SIZE
+        key = jax.random.PRNGKey(self.seed)
+
+        save_dir = cfg.DATA_FS.SAVE_DIR
+        keep = cfg.get_path(f"MODEL.{self.family.upper()}.CHECKPOINTS_TO_KEEP", 0)
+        rng = np.random.default_rng(self.seed)
+        late = rng.integers(int(epochs * 0.75), epochs + 1, size=keep) if keep else []
+
+        own_tracker = tracker is None
+        if own_tracker:
+            tracker = RunTracker(self.run_dir, config=cfg, use_wandb=False)
+
+        best = float("inf")
+        nan_streak = 0
+        history = {"train_loss": [], "val_loss": [], "lr": []}
+        try:
+            for epoch in range(1, epochs + 1):
+                losses = []
+                for batch in train_ds.batches(
+                    batch_size, shuffle=True, seed=self.seed + epoch
+                ):
+                    if self.mesh is not None:
+                        from crowdmod_tpu.parallel.mesh import shard_batch
+
+                        batch = shard_batch(batch, self.mesh)
+                    key, sub = jax.random.split(key)
+                    self.state, loss = self._train_step(self.state, batch, sub)
+                    losses.append(loss)
+                epoch_loss = float(jnp.mean(jnp.stack(losses)))
+
+                val_loss = None
+                if val_ds is not None:
+                    val_loss = self.evaluate(val_ds)
+
+                self.plateau = self.plateau.step(epoch_loss)
+                self.state = self.state.replace(
+                    opt_state=set_learning_rate(
+                        self.state.opt_state, self.plateau.lr
+                    )
+                )
+                lr = get_learning_rate(self.state.opt_state)
+                history["train_loss"].append(epoch_loss)
+                history["val_loss"].append(val_loss)
+                history["lr"].append(lr)
+                log = {"train_loss": epoch_loss, "lr": lr}
+                if val_loss is not None:
+                    log["val_loss"] = val_loss
+                tracker.log(log, step=epoch)
+
+                # NaN watchdog (3 consecutive epochs → abort).
+                if np.isnan(epoch_loss):
+                    nan_streak += 1
+                    logging.warning(
+                        "epoch %d: NaN loss (%d consecutive)", epoch, nan_streak
+                    )
+                    if nan_streak >= 3:
+                        logging.error("3 consecutive NaN epochs; aborting")
+                        break
+                else:
+                    nan_streak = 0
+
+                if epoch_loss < best:
+                    best = epoch_loss
+                    self.save(save_dir, "000", extra={"epoch_loss": epoch_loss})
+                if epoch in late:
+                    self.save(save_dir, epoch, extra={"epoch_loss": epoch_loss})
+        finally:
+            if own_tracker:
+                tracker.finish()
+        return history
+
+    def evaluate(self, ds: WindowDataset) -> float:
+        loss_fn = jax.jit(self._loss_fn())
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for batch in ds.batches(
+            self.cfg.DATASET.BATCH_SIZE, shuffle=False, drop_last=False
+        ):
+            key, sub = jax.random.split(key)
+            losses.append(loss_fn(self.state.params, batch, sub))
+        return float(jnp.mean(jnp.stack(losses)))
+
+    # ------------------------------------------------------------------
+    # Checkpointing
+    # ------------------------------------------------------------------
+    def save(self, save_dir: str, epoch: int | str, extra: dict | None = None):
+        name = ckpt.checkpoint_name(self.cfg, self.arch, epoch)
+        path = os.path.join(save_dir, name)
+        meta = ckpt.build_metadata(self.cfg, self.arch, epoch, extra)
+        return ckpt.save_checkpoint(
+            path, {"params": self.state.params, "step": self.state.step}, meta
+        )
+
+    def load(self, path: str):
+        if self.state is None:
+            self.setup()
+        restored, meta = ckpt.load_checkpoint(path)
+        params = jax.tree.unflatten(
+            jax.tree.structure(self.state.params),
+            jax.tree.leaves(restored["params"]),
+        )
+        self.state = self.state.replace(params=params)
+        return meta
+
+    # ------------------------------------------------------------------
+    # Sampling
+    # ------------------------------------------------------------------
+    def _denoise_fn(self):
+        params = self.state.params
+        return lambda x, t, c: self.model.apply(params, x, t, c)
+
+    def sample(self, past: jnp.ndarray, key, *, history: bool = False):
+        """Generate future blocks conditioned on ``past`` with the family's
+        configured sampler; returns ``(B, F, H, W, C)``."""
+        cfg = self.cfg
+        p, f, h, w = self._grid_shapes()
+        n = past.shape[0]
+        shape = (n, f, h, w, self.mprops_count)
+
+        if self.family == "DDPM":
+            node = cfg.MODEL.DDPM
+            if node.SAMPLER == "DDIM":
+                taus = ddim_tau_schedule(node.TIMESTEPS, node.DDIM_DIVIDER)
+                return ddim_sample(
+                    self._denoise_fn(), self.sched, past, key, shape, taus,
+                    sigma=node.SIGMA, guidance=node.GUIDANCE,
+                    lambda_guidance=node.get("LAMBDA_GUIDANCE", 0.0),
+                    history=history,
+                )
+            if node.SAMPLER != "DDPM":
+                raise ValueError(f"unknown DDPM sampler {node.SAMPLER!r}")
+            return ddpm_sample(
+                self._denoise_fn(), self.sched, past, key, shape,
+                guidance=node.GUIDANCE,
+                lambda_guidance=node.get("LAMBDA_GUIDANCE", 0.0),
+                history=history,
+            )
+
+        if self.family == "FM":
+            node = cfg.MODEL.FM
+            try:
+                integrator = INTEGRATORS[node.INTEGRATOR]
+            except KeyError:
+                raise ValueError(
+                    f"unknown integrator {node.INTEGRATOR!r}; "
+                    f"expected {list(INTEGRATORS)}"
+                )
+            steps = getattr(node.INTEGRATOR_STEPS, node.INTEGRATOR.upper())
+            return integrator(
+                self._denoise_fn(), past, key, shape,
+                steps=steps, time_max_pos=node.TIME_MAX_POS,
+            )
+
+        # ConvRNN: deterministic rollout; exp() the log-space channels
+        # (reference convRNN.py:223-231).
+        pred = self.model.apply(
+            self.state.params, past, future_len=f, teacher_forcing=False
+        )
+        out = pred
+        for chd in (0, 3):
+            if chd < self.mprops_count:
+                out = out.at[..., chd].set(jnp.exp(pred[..., chd]))
+        return out
+
+    def select_past(
+        self,
+        past: jnp.ndarray,
+        future: jnp.ndarray,
+        nsamples: int,
+        key,
+        *,
+        same_past: bool = False,
+        chunk: int = 1,
+    ):
+        """Sampling-protocol index selection (ddpm.py:295-318, 358-366)."""
+        n = past.shape[0]
+        idx = jax.random.permutation(key, n)[: min(nsamples, n)]
+        if same_past:
+            idx = jnp.full_like(idx, idx[0])
+        if chunk > 1:
+            idx = jnp.repeat(idx, chunk)[:nsamples]
+        return past[idx], future[idx], idx
+
+    # ------------------------------------------------------------------
+    # Metrics
+    # ------------------------------------------------------------------
+    def generate_metrics(
+        self,
+        test_ds: WindowDataset,
+        *,
+        metric: str = "ALL",
+        chunk: int = 20,
+        batches_to_use: int = 1,
+        output_dir: str | None = None,
+        epoch_tag: str | int = "000",
+        seed: int = 42,
+    ):
+        """Repeated-past sampling + metric suite (reference
+        generate_metrics.py:40-69, ddpm.py:336-392)."""
+        cfg = self.cfg
+        samples_per_batch = cfg.DATASET.BATCH_SIZE * chunk
+        key = jax.random.PRNGKey(seed)
+        preds, gts = [], []
+        for b, batch in enumerate(
+            test_ds.batches(samples_per_batch, shuffle=False, drop_last=False)
+        ):
+            if b >= batches_to_use:
+                break
+            past, future = batch
+            key, ksel, ksamp = jax.random.split(key, 3)
+            past_s, future_s, _ = self.select_past(
+                past, future, samples_per_batch, ksel, chunk=chunk
+            )
+            preds.append(self.sample(past_s, ksamp))
+            gts.append(future_s)
+
+        pred = jnp.concatenate(preds)[..., :3]
+        gt = jnp.concatenate(gts)[..., :3]
+        engine = MetricsEngine(
+            pred, gt, cfg.METRICS,
+            output_dir=output_dir or self.run_dir,
+            past_len=cfg.DATASET.PAST_LEN,
+        )
+        title = (
+            f"{cfg.DATASET.BATCH_SIZE * chunk * batches_to_use} samples in "
+            f"total (BS:{cfg.DATASET.BATCH_SIZE}, Rep:{chunk}, "
+            f"TB:{batches_to_use})-({self.arch})"
+        )
+        return compute_metrics(
+            engine, metric, chunk,
+            eps=cfg.MACROPROPS.EPS,
+            run_tag=ckpt.run_tag(cfg, self.arch, epoch_tag),
+            title=title,
+            samples_per_batch=samples_per_batch,
+        )

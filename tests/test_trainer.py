@@ -1,0 +1,154 @@
+"""Trainer orchestration tests: fit/NaN-watchdog/checkpoint/metrics across
+all model families, on tiny overrides of the smoke config."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crowdmod_tpu.data.windows import WindowDataset
+from crowdmod_tpu.data.synthetic import synthetic_walkers
+from crowdmod_tpu.train.checkpoint import checkpoint_name, run_tag
+from crowdmod_tpu.train.trainer import Trainer
+
+
+def tiny_cfg(smoke_cfg, tmp_path, **model_overrides):
+    over = {
+        "DATA_FS": {
+            "SAVE_DIR": str(tmp_path / "ckpts"),
+            "OUTPUT_DIR": str(tmp_path / "out"),
+        },
+        "MACROPROPS": {"ROWS": 8, "COLS": 12},
+        "DATASET": {"BATCH_SIZE": 8},
+        "MODEL": {
+            "DDPM": {
+                "TIMESTEPS": 10,
+                "CHECKPOINTS_TO_KEEP": 1,
+                "UNET": {
+                    "BASE_CH": 8, "BASE_CH_MULT": [1, 2],
+                    "APPLY_ATTENTION": [False, False], "DROPOUT_RATE": 0.0,
+                    "TRAIN": {"EPOCHS": 2},
+                },
+            },
+            "FM": {
+                "CHECKPOINTS_TO_KEEP": 0,
+                "INTEGRATOR_STEPS": {"EULER": 5, "HEUN": 3},
+                "UNET": {
+                    "BASE_CH": 8, "BASE_CH_MULT": [1, 2],
+                    "APPLY_ATTENTION": [False, False], "DROPOUT_RATE": 0.0,
+                    "TRAIN": {"EPOCHS": 1},
+                },
+            },
+            "CONVRNN": {
+                "ENC_HIDDEN_CH": [8, 16, 16, 16, 16, 16],
+                "FORC_HIDDEN_CH": [16, 16, 16, 16, 16, 16, 8],
+                "TRAIN": {"EPOCHS": 1},
+            },
+            **model_overrides,
+        },
+    }
+    return smoke_cfg.updated(over)
+
+
+def walker_ds(cfg, channels=3, n=6):
+    h, w = cfg.MACROPROPS.ROWS, cfg.MACROPROPS.COLS
+    raw = synthetic_walkers(n, h, w, 16)
+    if channels == 4:
+        raw = np.concatenate([raw, np.zeros(raw.shape[:-1] + (1,), raw.dtype)], -1)
+    return WindowDataset(
+        jnp.asarray(raw), past_len=cfg.DATASET.PAST_LEN,
+        future_len=cfg.DATASET.FUTURE_LEN, stride=8,
+    )
+
+
+def test_ddpm_fit_checkpoint_sample(smoke_cfg, tmp_path):
+    cfg = tiny_cfg(smoke_cfg, tmp_path)
+    ds = walker_ds(cfg)
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run"))
+    hist = tr.fit(ds, ds)
+    assert len(hist["train_loss"]) == 2
+    assert np.isfinite(hist["train_loss"]).all()
+    assert hist["val_loss"][0] is not None
+
+    # Best checkpoint "000" exists with metadata + events stream written.
+    best = os.path.join(cfg.DATA_FS.SAVE_DIR,
+                        checkpoint_name(cfg, "DDPM-UNet", "000"))
+    assert os.path.isdir(best)
+    assert os.path.exists(os.path.join(best, "metadata.json"))
+    assert os.path.exists(tmp_path / "run" / "events.jsonl")
+
+    # Reload into a fresh trainer and sample.
+    tr2 = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run2")).setup()
+    meta = tr2.load(best)
+    assert meta["arch"] == "DDPM-UNet"
+    l1, _ = jax.tree.flatten(tr.state.params)
+    l2, _ = jax.tree.flatten(tr2.state.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    past, _ = ds.gather(np.arange(4))
+    out = tr2.sample(past, jax.random.PRNGKey(0))
+    assert out.shape == (4, 3, 8, 12, 3)
+
+
+def test_ddim_sampler_path(smoke_cfg, tmp_path):
+    cfg = tiny_cfg(smoke_cfg, tmp_path)
+    cfg = cfg.updated({"MODEL": {"DDPM": {"SAMPLER": "DDIM", "DDIM_DIVIDER": 2}}})
+    ds = walker_ds(cfg)
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run")).setup()
+    past, _ = ds.gather(np.arange(2))
+    out = tr.sample(past, jax.random.PRNGKey(0))
+    assert out.shape == (2, 3, 8, 12, 3)
+
+
+def test_fm_fit_and_sample(smoke_cfg, tmp_path):
+    cfg = tiny_cfg(smoke_cfg, tmp_path)
+    ds = walker_ds(cfg)
+    tr = Trainer(cfg, "FM-UNet", run_dir=str(tmp_path / "runfm"))
+    hist = tr.fit(ds)
+    assert np.isfinite(hist["train_loss"]).all()
+    past, _ = ds.gather(np.arange(2))
+    out = tr.sample(past, jax.random.PRNGKey(0))
+    assert out.shape == (2, 3, 8, 12, 3)
+
+
+def test_convrnn_fit_and_sample(smoke_cfg, tmp_path):
+    cfg = tiny_cfg(smoke_cfg, tmp_path)
+    ds = walker_ds(cfg, channels=4)
+    tr = Trainer(cfg, "ConvRNN", run_dir=str(tmp_path / "runc"))
+    hist = tr.fit(ds)
+    assert np.isfinite(hist["train_loss"]).all()
+    past, _ = ds.gather(np.arange(2))
+    out = tr.sample(past, jax.random.PRNGKey(0))
+    assert out.shape == (2, 3, 8, 12, 4)
+    # exp applied to rho/sigma2 channels → strictly positive.
+    assert float(out[..., 0].min()) > 0
+    assert float(out[..., 3].min()) > 0
+
+
+def test_generate_metrics_end_to_end(smoke_cfg, tmp_path):
+    cfg = tiny_cfg(smoke_cfg, tmp_path).updated({"DATASET": {"BATCH_SIZE": 2}})
+    ds = walker_ds(cfg, n=8)
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "runm")).setup()
+    data = tr.generate_metrics(
+        ds, metric="PSNR", chunk=2, batches_to_use=1,
+        output_dir=str(tmp_path / "metrics"),
+    )
+    assert data["PSNR"].shape[1] == 3
+    tag = run_tag(cfg, "DDPM-UNet", "000")
+    assert (tmp_path / "metrics" / f"PSNR_NS4_{tag}.csv").exists()
+
+
+def test_checkpoint_name_scheme(atc_cfg):
+    assert checkpoint_name(atc_cfg, "DDPM-UNet", "000") == (
+        "DDPM-UNet_ATC_TE200_PL5_FL3_CE000_NA"
+    )
+    assert checkpoint_name(atc_cfg, "FM-UNet", 7) == (
+        "FM-UNet_ATC_TE200_PL5_FL3_CE7_Linear"
+    )
+    assert checkpoint_name(atc_cfg, "ConvRNN", "000") == (
+        "ConvRNN_ATC_TE600_PL5_FL3_CE000_GRUCell"
+    )
+    assert run_tag(atc_cfg, "DDPM-UNet", "000") == "TE200_PL5_FL3_CE000_NA"
