@@ -1,0 +1,71 @@
+"""Command-line entry points (reference repo-root scripts, SURVEY.md §2.8).
+
+Each subcommand is runnable as ``python -m crowdmod_tpu.cli.<name>`` or via
+the ``crowdmod`` console script:
+
+  * ``train``             — train any of the five architectures
+  * ``generate_samples``  — sample a trained model + render plots/GIFs
+  * ``generate_metrics``  — repeated-past metric suite → CSV/manifest/boxplots
+  * ``sweep``             — random-search hyperparameter sweeps
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def common_parser(description: str) -> argparse.ArgumentParser:
+    """Flags shared by every entry point (reference train.py:74-80)."""
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument(
+        "--config-yml-file", type=str, default="configs/4test/ATC.yml",
+        help="Configuration YML file for specific dataset.",
+    )
+    p.add_argument(
+        "--configList-yml-file", type=str, default=None,
+        help="Optional YML with the DATA_LIST of macroprop pickles.",
+    )
+    p.add_argument(
+        "--arch", type=str, default="DDPM-UNet",
+        help="DDPM-UNet|DDPM-DiT|FM-UNet|FM-DiT|ConvRNN",
+    )
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def setup_logging(logfile: str | None = None):
+    handlers = [logging.StreamHandler(sys.stdout)]
+    if logfile:
+        os.makedirs(os.path.dirname(logfile) or ".", exist_ok=True)
+        handlers.append(logging.FileHandler(logfile))
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    """Dispatch ``crowdmod <subcommand> ...``."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    commands = {
+        "train": "crowdmod_tpu.cli.train",
+        "generate-samples": "crowdmod_tpu.cli.generate_samples",
+        "generate-metrics": "crowdmod_tpu.cli.generate_metrics",
+        "sweep": "crowdmod_tpu.cli.sweep",
+    }
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: crowdmod {" + ",".join(commands) + "} [args...]")
+        return 0
+    cmd = argv.pop(0)
+    if cmd not in commands:
+        print(f"unknown command {cmd!r}; expected one of {list(commands)}")
+        return 2
+    import importlib
+
+    mod = importlib.import_module(commands[cmd])
+    return mod.run(argv) or 0

@@ -1,0 +1,81 @@
+"""Metrics entry point (reference /root/reference/generate_metrics.py:19-83).
+
+Runs the repeated-past sampling protocol (``samples_per_batch = BATCH_SIZE ×
+chunk``) and the full on-device metric suite, writing CSVs, the
+``metrics_files.json`` manifest, and boxplot PNGs.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+
+from crowdmod_tpu.cli import common_parser, setup_logging
+
+
+def build_parser():
+    p = common_parser("Compute the evaluation-metric suite for a model.")
+    p.add_argument(
+        "--metric", type=str, default="ALL",
+        help="PSNR|SSIM|MOTION_FEAT_BHATT|ENERGY|RE_DENSITY|ALL",
+    )
+    p.add_argument(
+        "--chunk-repd-past-seq", type=int, default=None,
+        help="Samples drawn per repeated past sequence "
+             "(default cfg.METRICS.CHUNK_REPD_PAST_SEQ or 20).",
+    )
+    p.add_argument("--batches-to-use", type=int, default=1)
+    p.add_argument("--model-sample-to-load", type=str, default="000")
+    p.add_argument("--output-dir", type=str, default=None)
+    return p
+
+
+def run(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from crowdmod_tpu.config import load_config
+    from crowdmod_tpu.data.ingest import get_test_dataset
+    from crowdmod_tpu.train import checkpoint as ckpt
+    from crowdmod_tpu.train.trainer import Trainer
+
+    cfg = load_config(args.config_yml_file, args.configList_yml_file)
+    setup_logging(
+        os.path.join(cfg.DATA_FS.OUTPUT_DIR, "logs", "genMetrics.log")
+    )
+
+    chunk = args.chunk_repd_past_seq
+    if chunk is None:
+        chunk = cfg.METRICS.get("CHUNK_REPD_PAST_SEQ", 20)
+
+    trainer = Trainer(cfg, args.arch, seed=args.seed)
+    tag = args.model_sample_to_load
+    path = os.path.join(
+        cfg.DATA_FS.SAVE_DIR, ckpt.checkpoint_name(cfg, args.arch, tag)
+    )
+    trainer.load(path)
+    logging.info("checkpoint restored from %s", path)
+
+    test_ds = get_test_dataset(cfg, trainer.mprops_count, seed=args.seed)
+    out_dir = args.output_dir or os.path.join(
+        cfg.DATA_FS.OUTPUT_DIR, "metrics", args.arch
+    )
+    results = trainer.generate_metrics(
+        test_ds,
+        metric=args.metric,
+        chunk=chunk,
+        batches_to_use=args.batches_to_use,
+        output_dir=out_dir,
+        epoch_tag=tag,
+        seed=args.seed,
+    )
+    summary = {
+        k: float(v.mean()) for k, v in results.items()
+        if hasattr(v, "mean")
+    }
+    logging.info("metric means: %s", json.dumps(summary, indent=2))
+    logging.info("metric artifacts written to %s", out_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(run())
