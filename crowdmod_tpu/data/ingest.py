@@ -78,7 +78,11 @@ def load_pickles(
             arr = pickle.load(f)
         data[at : at + n] = arr
         at += n
-    native = np.transpose(data, (0, 4, 2, 3, 1))[..., :mprops_count]
+    # Threaded C++ layout transpose when the native runtime is built
+    # (numpy transpose fallback inside).
+    from crowdmod_tpu.native import transpose_to_native
+
+    native = transpose_to_native(data)[..., :mprops_count]
     return np.ascontiguousarray(native), channel_stats(native)
 
 

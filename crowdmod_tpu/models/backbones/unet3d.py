@@ -23,6 +23,7 @@ from flax import linen as nn
 
 from crowdmod_tpu.models.backbones.embeddings import TimestepEmbedding
 from crowdmod_tpu.ops.attention import MultiHeadAttention
+from crowdmod_tpu.ops.norm import GroupNormSiLU
 
 
 class SpatialAttentionBlock(nn.Module):
@@ -37,7 +38,7 @@ class SpatialAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, h, w, c = x.shape
-        y = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype)(x)
+        y = GroupNormSiLU(num_groups=8, epsilon=1e-5, silu=False, dtype=self.dtype)(x)
         y = y.reshape(b, t * h * w, c)
         y = MultiHeadAttention(num_heads=self.num_heads, dtype=self.dtype)(y)
         return x + y.reshape(b, t, h, w, c)
@@ -63,7 +64,7 @@ class ResnetBlock3D(nn.Module):
             self.out_channels, kernel_size=(3, 3, 3), padding="SAME",
             dtype=self.dtype, name=name,
         )
-        h = nn.silu(nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype)(x))
+        h = GroupNormSiLU(num_groups=8, epsilon=1e-5, dtype=self.dtype)(x)
         h = conv("conv1")(h)
 
         emb = nn.Dense(self.out_channels, dtype=self.dtype, name="time_dense")(
@@ -71,7 +72,7 @@ class ResnetBlock3D(nn.Module):
         )
         h = h + emb[:, None, None, None, :]
 
-        h = nn.silu(nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype)(h))
+        h = GroupNormSiLU(num_groups=8, epsilon=1e-5, dtype=self.dtype)(h)
         h = nn.Dropout(
             rate=self.dropout_rate, broadcast_dims=(1, 2, 3)
         )(h, deterministic=deterministic)
@@ -194,8 +195,7 @@ class UNet3D(nn.Module):
             if level != 0:
                 h = UpSample3D(h.shape[-1], dtype=self.dtype, name=f"up_{level}")(h)
 
-        h = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype, name="final_norm")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(num_groups=8, epsilon=1e-5, dtype=self.dtype, name="final_norm")(h)
         h = nn.Conv(
             self.out_channels, kernel_size=(3, 3, 3), padding="SAME",
             dtype=jnp.float32, name="final_conv",

@@ -96,16 +96,35 @@ def ddpm_sample(
     k_init, k_loop = jax.random.split(key)
     x0 = jax.random.normal(k_init, sample_shape, dtype=jnp.float32)
     b = sample_shape[0]
+    # The elementwise ancestral update (+ sparsity guidance) fuses into one
+    # Pallas VMEM pass; mass-preservation needs jax.grad so it stays on the
+    # composite path.
+    fused = guidance in ("None", None, "Sparsity")
 
     def body(x, t):
         step_key = jax.random.fold_in(k_loop, t)
         t_vec = jnp.full((b,), t, dtype=jnp.int32)
         eps = denoise_fn(x, t_vec, past)
-        x, sigma, alpha_t = ddpm_reverse_step(sched, eps, x, t, step_key)
-        x = _apply_guidance(
-            x, guidance, sigma=sigma, alpha_t=alpha_t,
-            lambda_guidance=lambda_guidance,
-        )
+        if fused:
+            from crowdmod_tpu.ops.pallas import fused_ancestral_update
+
+            z = jax.random.normal(step_key, x.shape, dtype=x.dtype)
+            z = jnp.where(t > 0, z, jnp.zeros_like(z))
+            beta_t = sched.beta[t]
+            x = fused_ancestral_update(
+                x, eps, z,
+                inv_sqrt_alpha=sched.one_by_sqrt_alpha[t],
+                beta_over_somab=beta_t / sched.sqrt_one_minus_alpha_bar[t],
+                sigma=jnp.sqrt(beta_t),
+                lambda_guidance=lambda_guidance,
+                sparsity=(guidance == "Sparsity"),
+            )
+        else:
+            x, sigma, alpha_t = ddpm_reverse_step(sched, eps, x, t, step_key)
+            x = _apply_guidance(
+                x, guidance, sigma=sigma, alpha_t=alpha_t,
+                lambda_guidance=lambda_guidance,
+            )
         return x, (x if history else None)
 
     ts = jnp.arange(sched.timesteps - 1, -1, -1)

@@ -36,11 +36,27 @@ def dot_product_attention(
     dtype = q.dtype
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+
+    if dropout_rate == 0.0 or deterministic:
+        # Fused single-pass kernel path (TPU; jnp fallback elsewhere).
+        from crowdmod_tpu.ops.pallas import fused_attention
+
+        sq, h = q.shape[-3], q.shape[-2]
+        sk = k.shape[-3]
+        lead = q.shape[:-3]
+        to_bhsd = lambda x, s: jnp.moveaxis(
+            x.reshape((-1, s) + x.shape[-2:]), -2, 1
+        )
+        out = fused_attention(
+            to_bhsd(q, sq), to_bhsd(k, sk), to_bhsd(v, sk),
+            scale=float(1.0 / dh**0.5),
+        )
+        return jnp.moveaxis(out, 1, -2).reshape(lead + (sq, h, dh)).astype(dtype)
+
     logits = jnp.einsum("...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32)
     weights = jax.nn.softmax(logits * scale, axis=-1)
-    if dropout_rate > 0.0 and not deterministic:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
-        weights = weights * keep / (1.0 - dropout_rate)
+    keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+    weights = weights * keep / (1.0 - dropout_rate)
     out = jnp.einsum("...hqk,...khd->...qhd", weights.astype(dtype), v,
                      preferred_element_type=jnp.float32)
     return out.astype(dtype)
