@@ -37,14 +37,34 @@ def group_norm_reference(x, gamma, beta, num_groups, eps, silu):
 
 
 def _gn_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, num_groups, eps, silu):
-    x = x_ref[0].astype(jnp.float32)  # (S, C) one batch element, flattened
+    """One batch element, ``(S, C)`` flattened.
+
+    Mosaic cannot shape-cast the lane (channel) dimension into (G, C/G), so
+    group moments are computed with a one-hot (C, G) membership matmul — two
+    tiny MXU contractions — and broadcast back the same way.
+    """
+    x = x_ref[0].astype(jnp.float32)  # (S, C)
     s, c = x.shape
     g = num_groups
     cg = c // g
-    xg = x.reshape(s, g, cg)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)       # (1, G, 1)
-    var = jnp.mean(jnp.square(xg - mean), axis=(0, 2), keepdims=True)
-    norm = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(s, c)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
+    member = (ch // cg == gr).astype(jnp.float32)  # (C, G)
+    n = float(s * cg)
+
+    to_groups = lambda a: jnp.sum(
+        jnp.dot(a, member, preferred_element_type=jnp.float32),
+        axis=0, keepdims=True,
+    )  # (S, C) → (1, G)
+    to_channels = lambda a: jax.lax.dot_general(
+        a, member, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, G) → (1, C)
+
+    mean_c = to_channels(to_groups(x) / n)
+    dev = x - mean_c
+    var_c = to_channels(to_groups(dev * dev) / n)
+    norm = dev * jax.lax.rsqrt(var_c + eps)
     out = norm * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
     if silu:
         out = out * jax.nn.sigmoid(out)
@@ -56,7 +76,7 @@ def _gn_pallas(x2d, gamma, beta, num_groups, eps, silu, interpret):
     xspec = pl.BlockSpec(
         (1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    pspec = pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_gn_kernel, num_groups=num_groups, eps=eps, silu=silu),
         out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
@@ -64,7 +84,7 @@ def _gn_pallas(x2d, gamma, beta, num_groups, eps, silu, interpret):
         in_specs=[xspec, pspec, pspec],
         out_specs=xspec,
         interpret=interpret,
-    )(x2d, gamma, beta)
+    )(x2d, gamma.reshape(1, c), beta.reshape(1, c))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

@@ -4,65 +4,14 @@ on a tiny pickle fixture, exercising the whole stack the way a user would
 
 import json
 import os
-import pickle
 
 import numpy as np
 import pytest
-import yaml
 
 from crowdmod_tpu.cli import generate_metrics, generate_samples, sweep, train
 from crowdmod_tpu.cli import main as cli_main
 
-
-@pytest.fixture
-def workspace(smoke_cfg, tmp_path):
-    """Tiny configs + pickles on disk, mirroring a real dataset layout."""
-    h, w, L = 8, 12, 16
-    pkl_dir = tmp_path / "pickle"
-    pkl_dir.mkdir()
-    rng = np.random.default_rng(0)
-    files = []
-    for k in range(3):
-        # Reference pickle layout: (N, C, H, W, L).
-        arr = np.abs(rng.normal(size=(4, 4, h, w, L))).astype(np.float32)
-        with open(pkl_dir / f"f{k}.pkl", "wb") as f:
-            pickle.dump(arr, f)
-        files.append([f"f{k}.pkl", 4])
-
-    over = {
-        "DATA_FS": {
-            "PICKLE_DIR": str(pkl_dir),
-            "SAVE_DIR": str(tmp_path / "ckpts"),
-            "OUTPUT_DIR": str(tmp_path / "out"),
-        },
-        "MACROPROPS": {"ROWS": h, "COLS": w},
-        "DATASET": {
-            "RAW_SEQ_LEN": L, "BATCH_SIZE": 4,
-            "TRAIN_FILE_COUNT": 1, "VAL_FILE_COUNT": 1,
-            "TEST_FILE_COUNT": 1, "DATASET_TYPE": "ByFilenames",
-        },
-        "MODEL": {
-            "NSAMPLES4PLOTS": 1,
-            "DDPM": {
-                "TIMESTEPS": 5, "CHECKPOINTS_TO_KEEP": 0,
-                "UNET": {
-                    "BASE_CH": 8, "BASE_CH_MULT": [1, 2],
-                    "APPLY_ATTENTION": [False, False],
-                    "DROPOUT_RATE": 0.0,
-                    "TRAIN": {"EPOCHS": 1},
-                },
-            },
-        },
-        "METRICS": {"CHUNK_REPD_PAST_SEQ": 2},
-    }
-    cfg_dict = smoke_cfg.updated(over).to_dict()
-    cfg_path = tmp_path / "cfg.yml"
-    with open(cfg_path, "w") as f:
-        yaml.safe_dump(cfg_dict, f)
-    list_path = tmp_path / "list.yml"
-    with open(list_path, "w") as f:
-        yaml.safe_dump({"DATA_LIST": files}, f)
-    return {"cfg": str(cfg_path), "list": str(list_path), "tmp": tmp_path}
+# The shared `workspace` fixture (tiny configs + pickles) lives in conftest.py.
 
 
 def _common(ws):

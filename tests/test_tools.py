@@ -1,0 +1,73 @@
+"""Automation tooling tests: param counter, DDIM sweep driver, forward-viz."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from crowdmod_tpu.cli import train
+from crowdmod_tpu.utils.model_info import (
+    count_trainable_params,
+    param_breakdown,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_param_counting():
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(4)(nn.Dense(8)(x))
+
+    params = M().init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))
+    # Dense(8): 3*8+8 = 32; Dense(4): 8*4+4 = 36.  Flax numbers modules by
+    # construction order, so Dense_0 is the outer Dense(4).
+    assert count_trainable_params(params) == 68
+    bd = param_breakdown(params)
+    assert bd == {"Dense_0": 36, "Dense_1": 32}
+
+
+def test_ddim_sweep_driver(workspace):
+    ws = workspace
+    rc = train.run([
+        "--config-yml-file", ws["cfg"], "--configList-yml-file", ws["list"],
+        "--arch", "DDPM-UNet", "--run-dir", str(ws["tmp"] / "run"),
+    ])
+    assert rc == 0
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import ddim_sweep
+    finally:
+        sys.path.pop(0)
+    root = str(ws["tmp"] / "ddim")
+    rc = ddim_sweep.main([
+        "--config-yml-file", ws["cfg"], "--configList-yml-file", ws["list"],
+        "--arch", "DDPM-UNet", "--dividers", "2", "4",
+        "--metric", "PSNR", "--chunk-repd-past-seq", "2",
+        "--skip-samples", "--output-root", root,
+    ])
+    assert rc == 0
+    for d in (2, 4):
+        out = os.path.join(root, f"DDIM_{d}")
+        assert os.path.exists(os.path.join(out, "metrics_files.json"))
+
+
+def test_visualize_forward_tool(tmp_path):
+    out = tmp_path / "fwd.png"
+    rc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "visualize_forward.py"),
+         "--synthetic", "--out", str(out),
+         "--timesteps", "0", "50", "99"],
+        capture_output=True, timeout=300, env={**os.environ,
+                                               "JAX_PLATFORMS": "cpu"},
+    )
+    assert rc.returncode == 0, rc.stderr.decode()
+    assert out.exists() and out.stat().st_size > 0
