@@ -31,16 +31,32 @@ from crowdmod_tpu.data.windows import WindowDataset
 
 
 def filenames_with_counts(cfg: FrozenConfig) -> list[tuple[str, int]]:
-    """DATA_LIST entries → full pickle paths + sample counts
-    (reference utils.py:36-56; raw extension mapped per dataset)."""
+    """DATA_LIST entries → full pickle paths + sample counts.
+
+    Handles both reference DATA_LIST forms (utils.py:21-56): ``[file, n]``
+    pairs (ATC/HERMES datafiles) and plain filename lists (ETH-UCY DSlist),
+    where the count is read from the pickle header on demand.
+    """
     raw_ext = cfg.DATASET.get("RAW_EXT", ".csv")
     out = []
-    for filename, n in cfg.DATA_LIST:
-        filename = str(filename).replace(raw_ext, ".pkl")
-        if filename.endswith(".pkl"):
-            out.append(
-                (os.path.join(cfg.DATA_FS.PICKLE_DIR, filename), int(n))
-            )
+    for entry in cfg.DATA_LIST:
+        if isinstance(entry, (list, tuple)):
+            filename, n = entry
+            n = int(n)
+        else:
+            filename, n = entry, None
+        filename = str(filename)
+        for ext in (raw_ext, ".csv", ".txt"):
+            if filename.endswith(ext):
+                filename = filename[: -len(ext)]
+                break
+        if not filename.endswith(".pkl"):
+            filename += ".pkl"
+        path = os.path.join(cfg.DATA_FS.PICKLE_DIR, filename)
+        if n is None:
+            with open(path, "rb") as f:
+                n = len(pickle.load(f))
+        out.append((path, n))
     return out
 
 
@@ -74,9 +90,15 @@ def load_pickles(
     at = 0
     for k, (path, n) in enumerate(files_and_counts):
         logging.info("loading %s (%d/%d)", path, k + 1, len(files_and_counts))
-        with open(path, "rb") as f:
-            arr = pickle.load(f)
-        data[at : at + n] = arr
+        try:
+            with open(path, "rb") as f:
+                arr = pickle.load(f)
+            data[at : at + n] = arr
+        except MemoryError:
+            # Reference behavior: log and continue with zeros for this file
+            # rather than aborting the whole run (dataset.py:93-96).
+            logging.error("MemoryError loading %s; slots left zeroed", path)
+            data[at : at + n] = 0.0
         at += n
     # Threaded C++ layout transpose when the native runtime is built
     # (numpy transpose fallback inside).

@@ -42,15 +42,16 @@ def _step_kernel(
     x_ref, eps_ref, z_ref, coef_ref, o_ref, *,
     lambda_guidance, sparsity, rho_channel, channels,
 ):
-    inv_sqrt_alpha = coef_ref[0]
-    beta_over_somab = coef_ref[1]
-    sigma = coef_ref[2]
+    inv_sqrt_alpha = coef_ref[0, 0]
+    beta_over_somab = coef_ref[0, 1]
+    sigma = coef_ref[0, 2]
     out = inv_sqrt_alpha * (x_ref[:] - beta_over_somab * eps_ref[:]) \
         + sigma * z_ref[:]
     if sparsity:
-        # Channels-last layout: build a per-channel mask to hit ρ only.
-        ch = jax.lax.broadcasted_iota(jnp.int32, out.shape, out.ndim - 1)
-        guid = jnp.where(ch == rho_channel, jnp.sign(out), 0.0)
+        # Blocks are (rows, W·C): the channel of lane l is l % C, so the
+        # ρ-channel mask is computable without any lane reshape.
+        lane = jax.lax.broadcasted_iota(jnp.int32, out.shape, out.ndim - 1)
+        guid = jnp.where(lane % channels == rho_channel, jnp.sign(out), 0.0)
         out = out - lambda_guidance * sigma * guid
     o_ref[:] = out
 
@@ -83,18 +84,30 @@ def fused_ancestral_update(
         jnp.asarray(inv_sqrt_alpha, x.dtype),
         jnp.asarray(beta_over_somab, x.dtype),
         jnp.asarray(sigma, x.dtype),
-    ])
+    ]).reshape(1, 3)
     shape = x.shape
-    flat = lambda a: a.reshape(-1, shape[-1])
-    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    c = shape[-1]
+    # Fold W into the lane dim so tiny channel counts don't pad every
+    # element's lane group 128/C-fold; tile the row dim across the grid to
+    # bound VMEM (~4 buffers × block × 4 B).
+    cols = shape[-2] * c if len(shape) >= 2 else c
+    flat = lambda a: a.reshape(-1, cols)
+    rows = flat(x).shape[0]
+    block_rows = min(rows, 512)
+    grid = (pl.cdiv(rows, block_rows),)
+    spec = pl.BlockSpec(
+        (block_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    cspec = pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         partial(
             _step_kernel,
             lambda_guidance=lambda_guidance, sparsity=sparsity,
-            rho_channel=rho_channel, channels=shape[-1],
+            rho_channel=rho_channel, channels=c,
         ),
         out_shape=jax.ShapeDtypeStruct(flat(x).shape, x.dtype),
-        in_specs=[spec, spec, spec, spec],
+        grid=grid,
+        in_specs=[spec, spec, spec, cspec],
         out_specs=spec,
         interpret=(mode == "interpret"),
     )(flat(x), flat(eps), flat(z), coefs)
