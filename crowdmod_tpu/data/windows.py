@@ -59,6 +59,21 @@ class WindowDataset:
         win = self.raw[seq_idx[:, None], frames]  # (B, window, H, W, C)
         return win[:, : self.past_len], win[:, self.past_len :]
 
+    def epoch_arrays(
+        self, batch_size: int, *, shuffle: bool = True, seed: int = 0
+    ):
+        """One epoch as stacked ``(n_batches, batch, ...)`` past/future
+        arrays — the input to a whole-epoch ``lax.scan``
+        (:func:`crowdmod_tpu.train.state.make_epoch_step`)."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        n_full = len(order) // batch_size
+        sel = order[: n_full * batch_size]
+        past, future = self.gather(sel)
+        stack = lambda a: a.reshape((n_full, batch_size) + a.shape[1:])
+        return stack(past), stack(future)
+
     def batches(
         self,
         batch_size: int,

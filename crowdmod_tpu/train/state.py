@@ -57,3 +57,27 @@ def make_train_step(loss_fn: LossFn, donate: bool = True):
         return state.apply_gradients(grads), loss
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_epoch_step(loss_fn: LossFn, donate: bool = True):
+    """Build a jitted whole-epoch update: ``lax.scan`` of the train step over
+    a leading batches axis.
+
+    ``(state, batches, key) -> (state, per-batch losses)`` where every leaf of
+    ``batches`` is stacked ``(n_batches, batch, ...)``.  One dispatch per
+    epoch instead of one per batch — the Python-loop dispatch latency that
+    dominates small-model training (SURVEY.md §3.1 hot loop) disappears.
+    """
+
+    def epoch(state: TrainState, batches, key):
+        n = jax.tree.leaves(batches)[0].shape[0]
+        keys = jax.random.split(key, n)
+
+        def body(st, xs):
+            batch, k = xs
+            loss, grads = jax.value_and_grad(loss_fn)(st.params, batch, k)
+            return st.apply_gradients(grads), loss
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return jax.jit(epoch, donate_argnums=(0,) if donate else ())

@@ -43,7 +43,11 @@ from crowdmod_tpu.train.optim import (
     get_learning_rate,
     set_learning_rate,
 )
-from crowdmod_tpu.train.state import TrainState, make_train_step
+from crowdmod_tpu.train.state import (
+    TrainState,
+    make_epoch_step,
+    make_train_step,
+)
 from crowdmod_tpu.utils.tracker import RunTracker
 
 
@@ -206,6 +210,7 @@ class Trainer:
         baseline_ckpt: str | None = None,
         epochs: int | None = None,
         tracker: RunTracker | None = None,
+        scan_epoch: bool | None = None,
     ) -> dict:
         if self.state is None:
             self.setup(baseline_ckpt)
@@ -213,6 +218,20 @@ class Trainer:
         cfg = self.cfg
         batch_size = cfg.DATASET.BATCH_SIZE
         key = jax.random.PRNGKey(self.seed)
+
+        # Whole-epoch lax.scan removes per-batch dispatch latency — the
+        # dominant cost for these small models on TPU.  The per-batch loop is
+        # kept for meshes (stacked-batch sharding lands axis 1) and as the
+        # CPU/test default.
+        if scan_epoch is None:
+            scan_epoch = (
+                self.mesh is None and jax.default_backend() == "tpu"
+            )
+        scan_epoch = scan_epoch and self.mesh is None
+        epoch_step = (
+            make_epoch_step(self._loss_fn(), donate=True) if scan_epoch
+            else None
+        )
 
         save_dir = cfg.DATA_FS.SAVE_DIR
         keep = cfg.get_path(f"MODEL.{self.family.upper()}.CHECKPOINTS_TO_KEEP", 0)
@@ -228,18 +247,28 @@ class Trainer:
         history = {"train_loss": [], "val_loss": [], "lr": []}
         try:
             for epoch in range(1, epochs + 1):
-                losses = []
-                for batch in train_ds.batches(
-                    batch_size, shuffle=True, seed=self.seed + epoch
-                ):
-                    if self.mesh is not None:
-                        from crowdmod_tpu.parallel.mesh import shard_batch
-
-                        batch = shard_batch(batch, self.mesh)
+                if scan_epoch:
+                    stacked = train_ds.epoch_arrays(
+                        batch_size, shuffle=True, seed=self.seed + epoch
+                    )
                     key, sub = jax.random.split(key)
-                    self.state, loss = self._train_step(self.state, batch, sub)
-                    losses.append(loss)
-                epoch_loss = float(jnp.mean(jnp.stack(losses)))
+                    self.state, losses = epoch_step(self.state, stacked, sub)
+                    epoch_loss = float(jnp.mean(losses))
+                else:
+                    losses = []
+                    for batch in train_ds.batches(
+                        batch_size, shuffle=True, seed=self.seed + epoch
+                    ):
+                        if self.mesh is not None:
+                            from crowdmod_tpu.parallel.mesh import shard_batch
+
+                            batch = shard_batch(batch, self.mesh)
+                        key, sub = jax.random.split(key)
+                        self.state, loss = self._train_step(
+                            self.state, batch, sub
+                        )
+                        losses.append(loss)
+                    epoch_loss = float(jnp.mean(jnp.stack(losses)))
 
                 val_loss = None
                 if val_ds is not None:
