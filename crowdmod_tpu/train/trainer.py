@@ -312,7 +312,11 @@ class Trainer:
         return history
 
     def evaluate(self, ds: WindowDataset) -> float:
-        loss_fn = jax.jit(self._loss_fn())
+        # Cache the jitted eval loss — re-jitting per call would recompile
+        # every epoch.
+        if not hasattr(self, "_eval_loss"):
+            self._eval_loss = jax.jit(self._loss_fn())
+        loss_fn = self._eval_loss
         key = jax.random.PRNGKey(0)
         losses = []
         for batch in ds.batches(

@@ -71,3 +71,32 @@ def test_visualize_forward_tool(tmp_path):
     )
     assert rc.returncode == 0, rc.stderr.decode()
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_generate_synthetic_data_tool(workspace):
+    import pickle
+
+    import yaml
+
+    ws = workspace
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import generate_synthetic_data
+    finally:
+        sys.path.pop(0)
+    out = str(ws["tmp"] / "synth")
+    rc = generate_synthetic_data.main([
+        "--config-yml-file", ws["cfg"], "--configList-yml-file", ws["list"],
+        "--samples", "4", "--kind", "ALL", "--row", "3", "--out-dir", out,
+    ])
+    assert rc == 0
+    with open(os.path.join(out, "true_data.pkl"), "rb") as f:
+        true = pickle.load(f)
+    with open(os.path.join(out, "synthetic_data.pkl"), "rb") as f:
+        synth = pickle.load(f)
+    assert true.shape == synth.shape and true.shape[0] == 4
+    # Reference layout (B, C, H, W, L); walker adds density on row 3 along
+    # the diagonal and its mirror.
+    diff = synth - true
+    assert np.all(diff[:, 0, 3, 0, 0] >= 1.0)  # forward walker start
+    assert np.allclose(diff[:, 0, 2], 0.0)     # other rows untouched
