@@ -23,6 +23,7 @@ from flax import linen as nn
 
 from crowdmod_tpu.models.backbones.embeddings import TimestepEmbedding
 from crowdmod_tpu.ops.attention import MultiHeadAttention
+from crowdmod_tpu.ops.conv3d import Conv3DSame
 from crowdmod_tpu.ops.norm import GroupNormSiLU
 
 
@@ -60,9 +61,8 @@ class ResnetBlock3D(nn.Module):
     def __call__(
         self, x: jnp.ndarray, temb: jnp.ndarray, *, deterministic: bool = True
     ) -> jnp.ndarray:
-        conv = lambda name: nn.Conv(
-            self.out_channels, kernel_size=(3, 3, 3), padding="SAME",
-            dtype=self.dtype, name=name,
+        conv = lambda name: Conv3DSame(
+            self.out_channels, dtype=self.dtype, name=name,
         )
         h = GroupNormSiLU(num_groups=8, epsilon=1e-5, dtype=self.dtype)(x)
         h = conv("conv1")(h)
@@ -114,9 +114,7 @@ class UpSample3D(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for axis in (1, 2, 3):
             x = jnp.repeat(x, 2, axis=axis)
-        return nn.Conv(
-            self.channels, kernel_size=(3, 3, 3), padding="SAME", dtype=self.dtype
-        )(x)
+        return Conv3DSame(self.channels, dtype=self.dtype)(x)
 
 
 class UNet3D(nn.Module):
@@ -163,10 +161,7 @@ class UNet3D(nn.Module):
             apply_attention=attn, dtype=self.dtype, name=name,
         )
 
-        h = nn.Conv(
-            self.base_channels, kernel_size=(3, 3, 3), padding="SAME",
-            dtype=self.dtype, name="first",
-        )(x)
+        h = Conv3DSame(self.base_channels, dtype=self.dtype, name="first")(x)
         skips = [h]
 
         num_levels = len(self.base_channels_multiples)
@@ -196,9 +191,6 @@ class UNet3D(nn.Module):
                 h = UpSample3D(h.shape[-1], dtype=self.dtype, name=f"up_{level}")(h)
 
         h = GroupNormSiLU(num_groups=8, epsilon=1e-5, dtype=self.dtype, name="final_norm")(h)
-        h = nn.Conv(
-            self.out_channels, kernel_size=(3, 3, 3), padding="SAME",
-            dtype=jnp.float32, name="final_conv",
-        )(h)
+        h = Conv3DSame(self.out_channels, dtype=jnp.float32, name="final_conv")(h)
 
         return h[:, past_len:] if past_len else h

@@ -26,12 +26,40 @@ import os
 import jax
 
 
-def pallas_mode() -> str:
-    """→ 'compiled' | 'interpret' | 'off'."""
+# Measured on TPU v5e at reference scale (batch 64, ATC 12×36 grid, UNet3D
+# T=1000 reverse scan): the standalone kernels LOSE to XLA's automatic fusion
+# — end-to-end 6.6k steps/s with kernels vs 13.5k with XLA — because a custom
+# call breaks producer/consumer fusion and forces an HBM round-trip either
+# side of an op that is otherwise fused into the surrounding convs.  The
+# kernels stay available (and tested) for the shape regimes where a single
+# VMEM pass wins (large tokens/channels); routing is per-op so future
+# hardware/shape points can flip individual defaults with one env var.
+DEFAULT_MODES = {
+    "attention": "off",
+    "groupnorm": "off",
+    "fused_step": "off",
+}
+
+
+def pallas_mode(op: str | None = None) -> str:
+    """→ 'compiled' | 'interpret' | 'off' for ``op``.
+
+    Resolution order: ``CROWDMOD_FORCE_PALLAS`` (global override) →
+    ``CROWDMOD_PALLAS_<OP>`` → measured per-op default.
+    """
     forced = os.environ.get("CROWDMOD_FORCE_PALLAS", "")
     if forced in ("interpret", "compiled", "off"):
         return forced
-    return "compiled" if jax.default_backend() == "tpu" else "off"
+    if op:
+        per_op = os.environ.get(f"CROWDMOD_PALLAS_{op.upper()}", "")
+        if per_op in ("interpret", "compiled", "off"):
+            return per_op
+        default = DEFAULT_MODES.get(op, "off")
+    else:
+        default = "off"
+    if default == "compiled" and jax.default_backend() != "tpu":
+        return "off"
+    return default
 
 
 from crowdmod_tpu.ops.pallas.attention import fused_attention  # noqa: E402

@@ -106,7 +106,7 @@ def fused_attention(
     from crowdmod_tpu.ops.pallas import pallas_mode
 
     scale = float(scale if scale is not None else 1.0 / (q.shape[-1] ** 0.5))
-    mode = mode or pallas_mode()
+    mode = mode or pallas_mode("attention")
     if mode == "off":
         return attention_reference(q, k, v, scale)
     return _fused(q, k, v, scale, mode == "interpret")

@@ -72,7 +72,7 @@ def fused_ancestral_update(
     """One fused reverse step over ``(B, F, H, W, C)`` (any shape, really)."""
     from crowdmod_tpu.ops.pallas import pallas_mode
 
-    mode = mode or pallas_mode()
+    mode = mode or pallas_mode("fused_step")
     if mode == "off":
         return ancestral_update_reference(
             x, eps, z,

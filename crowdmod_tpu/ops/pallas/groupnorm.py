@@ -122,7 +122,7 @@ def fused_group_norm(
     """GroupNorm(+SiLU) over channels-last ``(B, ..., C)``."""
     from crowdmod_tpu.ops.pallas import pallas_mode
 
-    mode = mode or pallas_mode()
+    mode = mode or pallas_mode("groupnorm")
     gamma = gamma.reshape(-1)
     beta = beta.reshape(-1)
     if mode == "off":

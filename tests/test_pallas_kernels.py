@@ -152,3 +152,48 @@ def test_ddpm_sampler_unchanged_by_fusion(monkeypatch):
     monkeypatch.setenv("CROWDMOD_FORCE_PALLAS", "interpret")
     fused = ddpm_sample(denoise, sched, None, key, shape)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Conv3D lowerings
+# --------------------------------------------------------------------------
+
+def test_conv3d_lowerings_agree():
+    from flax import linen as nn
+
+    from crowdmod_tpu.ops.conv3d import Conv3DSame, conv3d_same
+
+    x = rand(0, (2, 5, 6, 9, 8))
+    kernel = rand(1, (3, 3, 3, 8, 16)) * 0.1
+    direct = conv3d_same(x, kernel, "direct")
+    for impl in ("split_t", "fold_t"):
+        out = conv3d_same(x, kernel, impl)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(direct), atol=1e-4
+        )
+
+    # Module parity vs flax nn.Conv with identical params.
+    m_ref = nn.Conv(16, kernel_size=(3, 3, 3), padding="SAME")
+    params = {"params": {"kernel": kernel, "bias": rand(2, (16,))}}
+    ref = m_ref.apply(params, x)
+    for impl in ("direct", "split_t", "fold_t"):
+        mine = Conv3DSame(16, impl=impl).apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(mine), np.asarray(ref), atol=1e-4
+        )
+
+
+def test_conv3d_grads_agree():
+    from crowdmod_tpu.ops.conv3d import conv3d_same
+
+    x = rand(0, (1, 4, 4, 6, 4))
+    kernel = rand(1, (3, 3, 3, 4, 4)) * 0.1
+    grads = {}
+    for impl in ("direct", "split_t", "fold_t"):
+        g = jax.grad(
+            lambda x, k: jnp.sum(conv3d_same(x, k, impl) ** 2), argnums=(0, 1)
+        )(x, kernel)
+        grads[impl] = g
+    for impl in ("split_t", "fold_t"):
+        for a, b in zip(grads[impl], grads["direct"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
