@@ -79,9 +79,14 @@ def test_ddpm_fit_checkpoint_sample(smoke_cfg, tmp_path):
     assert os.path.exists(os.path.join(best, "metadata.json"))
     assert os.path.exists(tmp_path / "run" / "events.jsonl")
 
-    # Reload into a fresh trainer and sample.
+    # Save the FINAL params explicitly and round-trip them through a fresh
+    # trainer (the "000" best-loss checkpoint need not equal the final
+    # epoch's params).
+    tr.save(cfg.DATA_FS.SAVE_DIR, 999)
+    final_ckpt = os.path.join(cfg.DATA_FS.SAVE_DIR,
+                              checkpoint_name(cfg, "DDPM-UNet", 999))
     tr2 = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run2")).setup()
-    meta = tr2.load(best)
+    meta = tr2.load(final_ckpt)
     assert meta["arch"] == "DDPM-UNet"
     l1, _ = jax.tree.flatten(tr.state.params)
     l2, _ = jax.tree.flatten(tr2.state.params)
