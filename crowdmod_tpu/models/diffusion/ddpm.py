@@ -85,6 +85,7 @@ def ddpm_sample(
     guidance: str = "None",
     lambda_guidance: float = 0.0,
     history: bool = False,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Ancestral DDPM sampling as one ``lax.scan`` over reversed timesteps.
 
@@ -128,7 +129,7 @@ def ddpm_sample(
         return x, (x if history else None)
 
     ts = jnp.arange(sched.timesteps - 1, -1, -1)
-    x_final, traj = jax.lax.scan(body, x0, ts)
+    x_final, traj = jax.lax.scan(body, x0, ts, unroll=unroll)
     return (x_final, traj) if history else x_final
 
 

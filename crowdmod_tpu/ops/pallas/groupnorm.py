@@ -23,14 +23,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 def group_norm_reference(x, gamma, beta, num_groups, eps, silu):
     """jnp oracle, flax ``nn.GroupNorm`` semantics (biased variance, moments
-    over all spatial positions and the channels within each group)."""
+    over all spatial positions and the channels within each group).
+
+    Moments and the affine run in float32 regardless of the activation dtype
+    (bf16-safe); in/out stay in the input dtype so HBM traffic doesn't
+    double — XLA fuses the casts into the loads/stores.
+    """
     *lead, c = x.shape
     g = num_groups
-    xg = x.reshape(x.shape[0], -1, g, c // g)  # (B, S, G, C/G)
+    xf = x.astype(jnp.float32)
+    xg = xf.reshape(x.shape[0], -1, g, c // g)  # (B, S, G, C/G)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
     var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
     norm = (xg - mean) * jax.lax.rsqrt(var + eps)
-    out = norm.reshape(x.shape) * gamma + beta
+    out = norm.reshape(x.shape) * gamma.astype(jnp.float32) \
+        + beta.astype(jnp.float32)
     if silu:
         out = out * jax.nn.sigmoid(out)
     return out.astype(x.dtype)
