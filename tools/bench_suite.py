@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Extended benchmark suite: every hot path, one JSON line per metric.
+
+`bench.py` reports the single headline metric the driver records; this suite
+covers the rest of the perf surface (training step, DDIM, flow-matching
+integrators, ConvRNN rollout, on-device metric suite) for PERF.md and
+regression tracking.
+
+Usage::
+
+    python tools/bench_suite.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+B, P, F, H, W, C = 64, 5, 3, 12, 36, 3
+
+
+def _block(x):
+    import jax
+
+    jax.block_until_ready(x)
+    return x
+
+
+def timeit(fn, *args, reps=5):
+    _block(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    _block(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def report(metric, value, unit):
+    print(json.dumps({"metric": metric, "value": round(value, 1), "unit": unit}))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from crowdmod_tpu.core.schedule import ddim_tau_schedule, linear_schedule
+    from crowdmod_tpu.models.backbones import UNet3D
+    from crowdmod_tpu.models.diffusion import ddim_sample, ddpm_loss, ddpm_sample
+    from crowdmod_tpu.models.flow_matching import euler_sample, fm_loss, heun_sample
+    from crowdmod_tpu.train.optim import adam_with_plateau
+    from crowdmod_tpu.train.state import TrainState, make_train_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    T = 200 if args.quick else 1000
+
+    model = UNet3D(
+        out_channels=C, base_channels=32, base_channels_multiples=(1, 2, 4),
+        apply_attention=(False, False, True, False), dropout_rate=0.1,
+        dtype=dtype,
+    )
+    past = jnp.zeros((B, P, H, W, C), jnp.float32)
+    future = jnp.zeros((B, F, H, W, C), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), future, jnp.zeros((B,)), past)
+    denoise = lambda x, t, cond: model.apply(params, x, t, cond)
+    sched = linear_schedule(T, scale=0.5)
+
+    # 1. DDPM ancestral sampling (headline).
+    f = jax.jit(lambda p_, k: ddpm_sample(denoise, sched, p_, k, (B, F, H, W, C)))
+    dt = timeit(f, past, jax.random.PRNGKey(1), reps=3)
+    report("ddpm_denoise_steps_per_sec", B * T / dt, "sample-steps/s")
+
+    # 2. DDIM (divider 10).
+    taus = ddim_tau_schedule(T, 10)
+    f = jax.jit(lambda p_, k: ddim_sample(
+        denoise, sched, p_, k, (B, F, H, W, C), taus))
+    dt = timeit(f, past, jax.random.PRNGKey(1), reps=3)
+    report("ddim10_samples_per_sec", B / dt, "full samples/s (batch 64)")
+
+    # 3. Training step throughput.
+    def loss_fn(prm, batch, key):
+        p_, f_ = batch
+        d = lambda x, t, c_: model.apply(
+            prm, x, t, c_, deterministic=False, rngs={"dropout": key}
+        )
+        return ddpm_loss(d, sched, f_, p_, key)
+
+    state = TrainState.create(params, adam_with_plateau(1e-4))
+    step = make_train_step(loss_fn, donate=False)
+    dt = timeit(step, state, (past, future), jax.random.PRNGKey(2), reps=10)
+    report("train_steps_per_sec", 1.0 / dt, "optimizer steps/s (batch 64)")
+    report("train_samples_per_sec", B / dt, "training samples/s")
+
+    # 4. Flow matching integrators.
+    steps = 100 if args.quick else 1000
+    f = jax.jit(lambda p_, k: euler_sample(
+        denoise, p_, k, (B, F, H, W, C), steps=steps, time_max_pos=T))
+    dt = timeit(f, past, jax.random.PRNGKey(3), reps=3)
+    report("fm_euler_steps_per_sec", B * steps / dt, "integrator steps/s")
+
+    f = jax.jit(lambda p_, k: heun_sample(
+        denoise, p_, k, (B, F, H, W, C), steps=steps // 2, time_max_pos=T))
+    dt = timeit(f, past, jax.random.PRNGKey(3), reps=3)
+    report("fm_heun_steps_per_sec", B * (steps // 2) / dt, "integrator steps/s")
+
+    # 5. ConvRNN rollout.
+    from crowdmod_tpu.models.convrnn import CELLS, Forecaster
+
+    conv_model = Forecaster(
+        out_channels=4,
+        cell=CELLS["ConvGRUCell"],
+        dtype=dtype,
+    )
+    past4 = jnp.zeros((B, P, H, W, 4), jnp.float32)
+    cparams = conv_model.init(jax.random.PRNGKey(4), past4, future_len=F,
+                              teacher_forcing=False)
+    f = jax.jit(lambda x: conv_model.apply(
+        cparams, x, future_len=F, teacher_forcing=False))
+    dt = timeit(f, past4, reps=10)
+    report("convrnn_rollouts_per_sec", B / dt, "forecasts/s (batch 64)")
+
+    # 6. On-device metric suite.
+    from crowdmod_tpu.metrics import functional as mf
+
+    key = jax.random.PRNGKey(5)
+    pred = jax.random.uniform(key, (256, F, H, W, C))
+    gt = jax.random.uniform(jax.random.fold_in(key, 1), (256, F, H, W, C))
+
+    @jax.jit
+    def metric_suite(pred, gt):
+        r = mf.channel_ranges(gt)
+        return (
+            mf.psnr_over_time(pred, gt, r),
+            mf.psnr_over_time(pred, gt, r, masked=True),
+            mf.ssim_over_time(pred, gt, r),
+            mf.tv_over_time(pred, gt),
+            mf.re_density(pred, gt),
+        )
+
+    dt = timeit(metric_suite, pred, gt, reps=5)
+    report("metric_suite_seqs_per_sec", 256 / dt,
+           "sequences/s (PSNR+mPSNR+SSIM+TV+RE)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
