@@ -71,3 +71,66 @@ def test_sharded_batch_placement():
     x = jnp.zeros((16, 4, 4))
     (xs,) = shard_batch((x,), mesh)
     assert xs.sharding == NamedSharding(mesh, P("data"))
+
+
+def test_param_spec_tp_rules():
+    from crowdmod_tpu.parallel.sharding import param_spec
+
+    big = jnp.zeros((256, 256))       # divisible, large → sharded
+    small = jnp.zeros((8, 8))         # too small → replicated
+    odd = jnp.zeros((256, 37))        # not divisible → replicated
+    vec = jnp.zeros((256,))           # 1-D → replicated
+    assert param_spec(big, 4, 1 << 12) == P(None, "model")
+    assert param_spec(small, 4, 1 << 12) == P()
+    assert param_spec(odd, 4, 1 << 12) == P()
+    assert param_spec(vec, 4, 1 << 12) == P()
+    # model axis of size 1 → always replicated
+    assert param_spec(big, 1, 1 << 12) == P()
+
+
+def test_tp_dit_train_step_matches_single_device():
+    """2×4 (data×model) mesh with channel-sharded DiT kernels must produce
+    the same loss and updated params as single-device."""
+    from crowdmod_tpu.models.backbones.dit import DiT4DFactorized
+    from crowdmod_tpu.parallel.sharding import shard_params
+
+    model = DiT4DFactorized(
+        out_channels=C, grid_rows=H, grid_cols=W, patch_size=4,
+        hidden_size=64, depth=2, num_heads=4, mlp_ratio=2.0,
+        dropout_rate=0.0, past_len=Pst, future_len=F, t_patch_size=2,
+    )
+    data = jnp.asarray(synthetic_walkers(8, H, W, Pst + F))
+    past, future = data[:, :Pst], data[:, Pst:]
+    params = model.init(jax.random.PRNGKey(0), future, jnp.zeros((8,)), past)
+    sched = linear_schedule(50)
+
+    def loss_fn(p, batch, key):
+        past_b, future_b = batch
+        return ddpm_loss(
+            lambda x, t, c: model.apply(p, x, t, c), sched, future_b, past_b, key
+        )
+
+    tx = adam_with_plateau(1e-3)
+    key = jax.random.PRNGKey(3)
+
+    state1 = TrainState.create(params, tx)
+    step = make_train_step(loss_fn, donate=False)
+    state1, loss1 = step(state1, (past, future), key)
+
+    mesh = make_mesh(data=2, model=4)
+    # Low min_size so the 64-dim kernels actually shard over "model".
+    sharded = shard_params(params, mesh, min_size=1024)
+    specs = {
+        s.spec for s in jax.tree.leaves(
+            jax.tree.map(lambda x: x.sharding, sharded)
+        )
+    }
+    assert P(None, "model") in specs, "expected at least one TP-sharded kernel"
+    state2 = TrainState.create(sharded, tx)
+    batch = shard_batch((past, future), mesh)
+    state2, loss2 = step(state2, batch, key)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=5e-5)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
