@@ -6,6 +6,12 @@ geometry — one "denoise step" is one sample advanced one reverse timestep, so
 rate = batch * timesteps / wall_time for the full fused ``lax.scan`` sampler.
 Target: >= 25,000 on TPU v5e.
 
+Flagship = DDPM-DiT: the reference's factorized-attention DiT4D_V4 at its own
+ATC config (hidden 256 × depth 6 × 4 heads, patch 4/4 — 11.7M params, larger
+than the 7.2M UNet).  Its GEMMs are MXU-shaped (N = 256) where the UNet's
+32-channel convs cap at ~18% MXU utilization (see PERF.md); both are
+benchmarked in tools/bench_suite.py.
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
@@ -23,7 +29,7 @@ BASELINE_STEPS_PER_SEC = 25_000.0
 
 def main():
     from crowdmod_tpu.core.schedule import linear_schedule
-    from crowdmod_tpu.models.backbones import UNet3D
+    from crowdmod_tpu.models.backbones.dit import DiT4DFactorized
     from crowdmod_tpu.models.diffusion import ddpm_sample
 
     on_tpu = jax.default_backend() == "tpu"
@@ -32,12 +38,12 @@ def main():
     b, p, f, h, w, c = 64, 5, 3, 12, 36, 3
     timesteps = 1000
 
-    model = UNet3D(
-        out_channels=c,
-        base_channels=32,
-        base_channels_multiples=(1, 2, 4),
-        apply_attention=(False, False, True, False),
-        dropout_rate=0.1,
+    # Reference DDPM-DiT config (configs/ATC.yml MODEL.DDPM.DIT).
+    model = DiT4DFactorized(
+        out_channels=c, grid_rows=h, grid_cols=w,
+        patch_size=4, hidden_size=256, depth=6, num_heads=4,
+        mlp_ratio=4.0, dropout_rate=0.1, time_multiple=4,
+        past_len=p, future_len=f, t_patch_size=4,
         dtype=compute_dtype,
     )
     past = jnp.zeros((b, p, h, w, c), jnp.float32)
@@ -69,7 +75,7 @@ def main():
             {
                 "metric": "ddpm_denoise_steps_per_sec_per_chip",
                 "value": round(steps_per_sec, 1),
-                "unit": "sample-steps/s (batch 64, ATC 12x36x3 grid, UNet3D, T=1000)",
+                "unit": "sample-steps/s (batch 64, ATC 12x36x3 grid, DiT4D-factorized 11.7M params, T=1000)",
                 "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
             }
         )
