@@ -81,6 +81,22 @@ def main(argv=None) -> int:
     dt = timeit(f, past, jax.random.PRNGKey(1), reps=3)
     report("ddpm_denoise_steps_per_sec", B * T / dt, "sample-steps/s")
 
+    # 1b. DDPM-DiT flagship (reference DDPM-DiT config).
+    from crowdmod_tpu.models.backbones.dit import DiT4DFactorized
+
+    dit = DiT4DFactorized(
+        out_channels=C, grid_rows=H, grid_cols=W,
+        patch_size=4, hidden_size=256, depth=6, num_heads=4,
+        mlp_ratio=4.0, dropout_rate=0.1, time_multiple=4,
+        past_len=P, future_len=F, t_patch_size=4, dtype=dtype,
+    )
+    dit_params = dit.init(jax.random.PRNGKey(0), future, jnp.zeros((B,)), past)
+    f = jax.jit(lambda p_, k: ddpm_sample(
+        lambda x, t, c_: dit.apply(dit_params, x, t, c_),
+        sched, p_, k, (B, F, H, W, C)))
+    dt = timeit(f, past, jax.random.PRNGKey(1), reps=3)
+    report("ddpm_dit_denoise_steps_per_sec", B * T / dt, "sample-steps/s")
+
     # 2. DDIM (divider 10).
     taus = ddim_tau_schedule(T, 10)
     f = jax.jit(lambda p_, k: ddim_sample(
