@@ -74,6 +74,30 @@ def channel_stats(data: np.ndarray) -> np.ndarray:
     return stats
 
 
+def _load_one(path: str, use_cmb: bool) -> np.ndarray:
+    """Load one macroprop file, maintaining a ``.cmb`` binary sidecar cache.
+
+    First load unpickles and writes ``<file>.cmb``; later loads hit the
+    threaded native reader (no unpickling).  Disable with
+    ``CROWDMOD_CMB_CACHE=0``.
+    """
+    from crowdmod_tpu import native
+
+    cmb = str(path) + ".cmb"
+    if use_cmb and os.path.exists(cmb) and (
+        os.path.getmtime(cmb) >= os.path.getmtime(path)
+    ):
+        return native.read_tensor(cmb)
+    with open(path, "rb") as f:
+        arr = np.asarray(pickle.load(f), np.float32)
+    if use_cmb:
+        try:
+            native.write_tensor(cmb, arr)
+        except OSError:
+            logging.info("could not write cmb cache next to %s", path)
+    return arr
+
+
 def load_pickles(
     files_and_counts: list[tuple[str, int]],
     mprops_count: int,
@@ -88,12 +112,11 @@ def load_pickles(
     total = sum(n for _, n in files_and_counts)
     data = np.empty((total, 4, h, w, L), np.float32)
     at = 0
+    use_cmb = os.environ.get("CROWDMOD_CMB_CACHE", "1") != "0"
     for k, (path, n) in enumerate(files_and_counts):
         logging.info("loading %s (%d/%d)", path, k + 1, len(files_and_counts))
         try:
-            with open(path, "rb") as f:
-                arr = pickle.load(f)
-            data[at : at + n] = arr
+            data[at : at + n] = _load_one(path, use_cmb)
         except MemoryError:
             # Reference behavior: log and continue with zeros for this file
             # rather than aborting the whole run (dataset.py:93-96).

@@ -306,6 +306,16 @@ class Trainer:
                     self.save(save_dir, "000", extra={"epoch_loss": epoch_loss})
                 if epoch in late:
                     self.save(save_dir, epoch, extra={"epoch_loss": epoch_loss})
+        except BaseException:
+            # Crash/interrupt resilience the reference lacks (SURVEY §5.3):
+            # persist the in-flight state so long runs resume instead of
+            # restarting.
+            try:
+                self.save(save_dir, "abort")
+                logging.error("training aborted; emergency checkpoint saved")
+            except Exception:
+                logging.exception("emergency checkpoint failed")
+            raise
         finally:
             if own_tracker:
                 tracker.finish()

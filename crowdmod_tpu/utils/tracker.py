@@ -68,6 +68,28 @@ class RunTracker:
             self._wandb.log(dict(metrics), step=step)
         self.step = step + 1
 
+    def log_artifact(self, path: str | os.PathLike, kind: str = "file"):
+        """Record an artifact path (GIF/plot/checkpoint) in the event stream
+        and mirror media to wandb when available (reference crowd.py:145
+        logs GIFs as ``wandb.Video``)."""
+        record = {
+            "artifact": str(path),
+            "kind": kind,
+            "time": round(time.time() - self._t0, 3),
+        }
+        self._events.write(json.dumps(record) + "\n")
+        self._events.flush()
+        if self._wandb is not None:
+            try:
+                import wandb
+
+                if str(path).endswith(".gif"):
+                    self._wandb.log({kind: wandb.Video(str(path))})
+                elif str(path).endswith((".png", ".svg", ".jpg")):
+                    self._wandb.log({kind: wandb.Image(str(path))})
+            except Exception:
+                logging.info("wandb artifact mirror failed for %s", path)
+
     def finish(self):
         self._events.close()
         if self._wandb is not None:

@@ -177,3 +177,38 @@ def test_scan_epoch_matches_batch_loop(smoke_cfg, tmp_path):
     assert np.isfinite(h_scan["train_loss"]).all()
     # Both visit the same number of optimizer steps.
     assert int(tr_loop.state.step) == int(tr_scan.state.step)
+
+
+def test_emergency_checkpoint_on_abort(smoke_cfg, tmp_path):
+    cfg = tiny_cfg(smoke_cfg, tmp_path)
+    ds = walker_ds(cfg, channels=3, n=8)
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run"))
+
+    class Boom(RuntimeError):
+        pass
+
+    # Sabotage the tracker so epoch 1 logging explodes mid-fit.
+    from crowdmod_tpu.utils.tracker import RunTracker
+
+    tracker = RunTracker(str(tmp_path / "run"), use_wandb=False)
+    orig_log = tracker.log
+    tracker.log = lambda *a, **k: (_ for _ in ()).throw(Boom("log"))
+    import pytest as _pytest
+
+    with _pytest.raises(Boom):
+        tr.fit(ds, epochs=2, tracker=tracker)
+    abort = os.path.join(cfg.DATA_FS.SAVE_DIR,
+                         checkpoint_name(cfg, "DDPM-UNet", "abort"))
+    assert os.path.isdir(abort)
+
+
+def test_epoch_arrays_layout(smoke_cfg, tmp_path):
+    cfg = tiny_cfg(smoke_cfg, tmp_path)
+    ds = walker_ds(cfg, channels=3, n=8)
+    past_b, future_b = ds.epoch_arrays(4, shuffle=False)
+    n_batches = len(ds) // 4
+    assert past_b.shape == (n_batches, 4, 5, 8, 12, 3)
+    assert future_b.shape == (n_batches, 4, 3, 8, 12, 3)
+    # First stacked batch equals a plain gather of the first 4 windows.
+    p0, f0 = ds.gather(np.arange(4))
+    np.testing.assert_array_equal(np.asarray(past_b[0]), np.asarray(p0))
