@@ -3,5 +3,6 @@ from crowdmod_tpu.models.diffusion.ddpm import (
     ddpm_sample,
     ddim_sample,
 )
+from crowdmod_tpu.models.diffusion.dpm_solver import dpm_solver_sample
 
-__all__ = ["ddpm_loss", "ddpm_sample", "ddim_sample"]
+__all__ = ["ddpm_loss", "ddpm_sample", "ddim_sample", "dpm_solver_sample"]

@@ -1,0 +1,79 @@
+"""DPM-Solver++(2M): second-order multistep ODE sampler.
+
+Extension beyond the reference's DDPM/DDIM pair (ddpm.py:206-282): a
+training-free fast solver (Lu et al., DPM-Solver++; the "leverage previous
+steps" family) that reaches DDPM-quality samples in ~10–25 model calls
+instead of 1000.  Uses the same ``DiffusionSchedule`` buffers and epsilon-
+prediction backbone, expressed as one ``lax.scan`` whose carry holds the
+previous step's data prediction — ideal shape for XLA.
+
+VP parameterization: alpha_t = sqrt(alpha_bar), sigma_t = sqrt(1-alpha_bar),
+lambda_t = log(alpha_t / sigma_t).  Update (2M, data prediction):
+
+    x_i = (sigma_i / sigma_{i-1}) * x_{i-1}
+          - alpha_i * expm1(-h_i) * [ (1 + 1/(2 r_i)) x0_i - x0_{i-1}/(2 r_i) ]
+
+with h_i = lambda_i - lambda_{i-1}, r_i = h_{i-1} / h_i; the first step is
+first-order (DDIM with eta=0 in data space).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from crowdmod_tpu.core.schedule import DiffusionSchedule
+
+
+def dpm_timesteps(timesteps: int, steps: int) -> jnp.ndarray:
+    """Uniform discrete timestep ladder T-1 → 0 with ``steps+1`` points."""
+    return jnp.linspace(timesteps - 1, 0, steps + 1).round().astype(jnp.int32)
+
+
+def dpm_solver_sample(
+    denoise_fn,
+    sched: DiffusionSchedule,
+    past: jnp.ndarray | None,
+    key: jax.Array,
+    sample_shape: tuple[int, ...],
+    *,
+    steps: int = 20,
+    history: bool = False,
+) -> jnp.ndarray:
+    """Sample with DPM-Solver++(2M) in ``steps`` model evaluations."""
+    b = sample_shape[0]
+    x = jax.random.normal(key, sample_shape, dtype=jnp.float32)
+
+    ts = dpm_timesteps(sched.timesteps, steps)  # (steps+1,) descending
+    alpha = sched.sqrt_alpha_bar
+    sigma = sched.sqrt_one_minus_alpha_bar
+    lam = jnp.log(alpha) - jnp.log(sigma)
+
+    def x0_of(x, t):
+        t_vec = jnp.full((b,), t, dtype=jnp.int32)
+        eps = denoise_fn(x, t_vec, past)
+        return (x - sigma[t] * eps) / alpha[t]
+
+    # First step: first-order (exact under constant x0 prediction).
+    # With h = lam[t1] - lam[t0] > 0:  x ← (σ1/σ0)·x − α1·expm1(−h)·x0.
+    t0, t1 = ts[0], ts[1]
+    x0_prev = x0_of(x, t0)
+    h0 = lam[t1] - lam[t0]
+    x = (sigma[t1] / sigma[t0]) * x - alpha[t1] * jnp.expm1(-h0) * x0_prev
+
+    def body(carry, idx):
+        x, x0_prev, t_prev2 = carry
+        t = ts[idx + 1]       # target timestep
+        t_im1 = ts[idx]       # current timestep
+        h = lam[t] - lam[t_im1]
+        h_prev = lam[t_im1] - lam[t_prev2]
+        r = h_prev / h
+        x0 = x0_of(x, t_im1)
+        d = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
+        x_new = (sigma[t] / sigma[t_im1]) * x - alpha[t] * jnp.expm1(-h) * d
+        return (x_new, x0, t_im1), (x_new if history else None)
+
+    (x, _, _), traj = jax.lax.scan(
+        body, (x, x0_prev, t0), jnp.arange(1, steps)
+    )
+    return (x, traj) if history else x

@@ -383,6 +383,15 @@ class Trainer:
                     lambda_guidance=node.get("LAMBDA_GUIDANCE", 0.0),
                     history=history,
                 )
+            if node.SAMPLER == "DPM-Solver":
+                # Fast multistep solver (extension beyond the reference's
+                # DDPM/DDIM; models/diffusion/dpm_solver.py).
+                from crowdmod_tpu.models.diffusion import dpm_solver_sample
+
+                return dpm_solver_sample(
+                    self._denoise_fn(), self.sched, past, key, shape,
+                    steps=node.get("DPM_STEPS", 20), history=history,
+                )
             if node.SAMPLER != "DDPM":
                 raise ValueError(f"unknown DDPM sampler {node.SAMPLER!r}")
             return ddpm_sample(
