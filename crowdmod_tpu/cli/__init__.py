@@ -57,6 +57,9 @@ def main(argv: list[str] | None = None) -> int:
         "generate-samples": "crowdmod_tpu.cli.generate_samples",
         "generate-metrics": "crowdmod_tpu.cli.generate_metrics",
         "sweep": "crowdmod_tpu.cli.sweep",
+        "compare": "crowdmod_tpu.viz.compare_models",
+        "view": "crowdmod_tpu.viz.html_viewer",
+        "params": "crowdmod_tpu.utils.model_info",
     }
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: crowdmod {" + ",".join(commands) + "} [args...]")

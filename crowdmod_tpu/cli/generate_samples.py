@@ -95,9 +95,15 @@ def run(argv=None) -> int:
         plot_type=args.plot_type, plot_mprop=args.plot_mprop,
         plot_past=args.plot_past,
     )
-    for k, v in artifacts.items():
-        if k != "overlays":
+    from crowdmod_tpu.utils.tracker import RunTracker
+
+    with RunTracker(out_dir, config=cfg, use_wandb=None) as tracker:
+        for k, v in artifacts.items():
+            if k == "overlays":
+                continue
             logging.info("wrote %s: %s", k, v)
+            for path in (v if isinstance(v, list) else [v]):
+                tracker.log_artifact(path, kind=k)
     return 0
 
 
