@@ -48,22 +48,32 @@ def main(argv=None) -> int:
     from crowdmod_tpu.train.trainer import Trainer
 
     h, w = 12, 36
+    epochs_node = {"TRAIN": {"EPOCHS": args.epochs}}
     cfg = load_config(os.path.join(REPO, "configs", "4test", "ATC.yml")).updated({
         "DATA_FS": {"SAVE_DIR": "/tmp/validate_ckpts", "OUTPUT_DIR": "/tmp/validate_out"},
         "DATASET": {"BATCH_SIZE": args.batch},
-        "MODEL": {"DDPM": {
-            "SAMPLER": args.sampler, "DPM_STEPS": 25, "DDIM_DIVIDER": 10,
-            "UNET": {"TRAIN": {"EPOCHS": args.epochs}},
-            "DIT": {"TRAIN": {"EPOCHS": args.epochs}},
-        }},
+        "MODEL": {
+            "DDPM": {
+                "SAMPLER": args.sampler, "DPM_STEPS": 25, "DDIM_DIVIDER": 10,
+                "UNET": epochs_node, "DIT": epochs_node,
+            },
+            "FM": {"UNET": epochs_node, "DIT": epochs_node,
+                   "INTEGRATOR_STEPS": {"EULER": 100, "HEUN": 50}},
+            "CONVRNN": epochs_node,
+        },
     })
 
     # Walkers with per-sequence phase diversity: roll the time axis so the
     # model must actually use the conditioning.
     rng = np.random.default_rng(args.seed)
+    channels = 4 if args.arch == "ConvRNN" else 3
     base = synthetic_walkers(args.n_train, h, w, 16)
     for i in range(len(base)):
         base[i] = np.roll(base[i], int(rng.integers(16)), axis=0)
+    if channels == 4:
+        base = np.concatenate(
+            [base, np.zeros(base.shape[:-1] + (1,), base.dtype)], -1
+        )
     ds = WindowDataset(jnp.asarray(base), past_len=5, future_len=3, stride=4)
 
     def density_psnr(trainer, n=64, seed=0):
