@@ -47,6 +47,13 @@ def build_library(force: bool = False) -> Path | None:
         "-march=native", "-funroll-loops",
         str(SRC), "-o", str(lib),
     ]
+    # Race-detection build (SURVEY.md §5.2 — the runtime is threaded):
+    # CROWDMOD_NATIVE_SANITIZE=thread|address builds with the sanitizer so
+    # the parity tests double as data-race / memory checks.
+    san = os.environ.get("CROWDMOD_NATIVE_SANITIZE")
+    if san in ("thread", "address"):
+        cmd = [a for a in cmd if a != "-O3"]
+        cmd[1:1] = ["-O1", "-g", f"-fsanitize={san}"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except FileNotFoundError:

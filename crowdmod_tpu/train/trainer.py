@@ -182,6 +182,22 @@ class Trainer:
 
         return loss
 
+    def resume_from_abort(self) -> bool:
+        """Restore the emergency 'abort' checkpoint when present.
+
+        → True when state was restored (crash/interrupt recovery; the
+        reference can only warm-start weights manually via --baseline-ckpt).
+        """
+        path = os.path.join(
+            self.cfg.DATA_FS.SAVE_DIR,
+            ckpt.checkpoint_name(self.cfg, self.arch, "abort"),
+        )
+        if not os.path.isdir(path):
+            return False
+        self.load(path)
+        logging.info("resumed from emergency checkpoint %s", path)
+        return True
+
     def setup(self, baseline_ckpt: str | None = None):
         params = self.init_params()
         if baseline_ckpt:

@@ -212,3 +212,29 @@ def test_epoch_arrays_layout(smoke_cfg, tmp_path):
     # First stacked batch equals a plain gather of the first 4 windows.
     p0, f0 = ds.gather(np.arange(4))
     np.testing.assert_array_equal(np.asarray(past_b[0]), np.asarray(p0))
+
+
+def test_resume_from_abort(smoke_cfg, tmp_path):
+    cfg = tiny_cfg(smoke_cfg, tmp_path)
+    ds = walker_ds(cfg, channels=3, n=8)
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run")).setup()
+    assert not tr.resume_from_abort()  # nothing saved yet
+    tr.save(cfg.DATA_FS.SAVE_DIR, "abort")
+    tr2 = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run2"))
+    assert tr2.resume_from_abort()
+    for a, b in zip(jax.tree.leaves(tr.state.params),
+                    jax.tree.leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_native_tsan_build(tmp_path, monkeypatch):
+    """The sanitizer build path must compile (race-detection harness for the
+    threaded C++ runtime)."""
+    import shutil
+
+    from crowdmod_tpu.native.build import build_library
+
+    monkeypatch.setenv("CROWDMOD_NATIVE_SANITIZE", "thread")
+    monkeypatch.setenv("CROWDMOD_NATIVE_CACHE", str(tmp_path / "san"))
+    lib = build_library(force=True)
+    assert lib is not None and lib.exists()
