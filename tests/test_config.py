@@ -47,3 +47,32 @@ def test_all_bundled_configs_parse():
         cfg = load_config(yml)
         assert cfg.MACROPROPS.ROWS > 0
         assert cfg.DATASET.PAST_LEN == 5
+
+
+def test_gen_configs_is_in_sync(tmp_path, monkeypatch, capsys):
+    """configs/ must be exactly what tools/gen_configs.py generates — the
+    script is the single source of truth."""
+    import importlib.util
+    import os
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "gen_configs", repo / "tools" / "gen_configs.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.OUT = tmp_path
+    mod.main()
+
+    generated = sorted(p.relative_to(tmp_path) for p in tmp_path.rglob("*.yml"))
+    shipped = sorted(
+        p.relative_to(repo / "configs")
+        for p in (repo / "configs").rglob("*.yml")
+    )
+    assert generated == shipped
+    for rel in generated:
+        assert (tmp_path / rel).read_text() == (
+            repo / "configs" / rel
+        ).read_text(), f"configs/{rel} out of sync with tools/gen_configs.py"
