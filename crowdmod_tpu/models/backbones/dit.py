@@ -71,7 +71,9 @@ class Mlp(nn.Module):
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         d = x.shape[-1]
         h = nn.Dense(int(d * self.hidden_mult), dtype=self.dtype, kernel_init=_xavier)(x)
-        h = nn.gelu(h)
+        # Exact (erf) GELU — torch nn.GELU's default; flax defaults to the
+        # tanh approximation, which diverges at the 1e-4 level.
+        h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         h = nn.Dense(d, dtype=self.dtype, kernel_init=_xavier)(h)
         return nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
