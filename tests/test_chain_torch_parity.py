@@ -1,0 +1,92 @@
+"""Full reverse-chain parity: 20 denoising steps, torch vs jax, same noise.
+
+Drives the complete ancestral chain (denoiser-in-the-loop) on both sides
+with identical injected z-noise and the weight-mapped UNet from
+tests/test_unet_torch_parity.py.  20 chained model evaluations amplify any
+numeric divergence; agreement here means whole sampled sequences match the
+reference, not just single ops.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference repo not mounted"
+)
+torch = pytest.importorskip("torch")
+if REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+from tests.test_unet_torch_parity import C, build_models, map_params
+
+
+def test_reverse_chain_parity():
+    from models.diffusion.forward import ForwardSampler
+
+    from crowdmod_tpu.core.schedule import linear_schedule
+
+    T = 20
+    ref_unet, ours = build_models()
+    params = map_params(ref_unet)
+    sched_ref = ForwardSampler(timesteps=T, scale=0.5)
+    sched = linear_schedule(T, scale=0.5)
+
+    b, p, f, h, w = 2, 5, 3, 8, 12
+    rng = np.random.default_rng(0)
+    past_ref = rng.normal(size=(b, C, h, w, p)).astype(np.float32)
+    x0 = rng.normal(size=(b, C, h, w, f)).astype(np.float32)
+    zs = rng.normal(size=(T, b, C, h, w, f)).astype(np.float32)
+
+    # Torch chain (the verified DDPM.step formula over ForwardSampler
+    # buffers, with injected z).
+    x_t = torch.tensor(x0)
+    past_t = torch.tensor(past_ref)
+    with torch.no_grad():
+        for t in reversed(range(T)):
+            tt = torch.full((b,), t, dtype=torch.long)
+            eps = ref_unet(x_t, tt, past_t)
+            z = torch.tensor(zs[t]) if t > 0 else torch.zeros_like(x_t)
+            beta = sched_ref.beta[t]
+            x_t = (
+                sched_ref.one_by_sqrt_alpha[t]
+                * (x_t - beta / sched_ref.sqrt_one_minus_alpha_bar[t] * eps)
+                + torch.sqrt(beta) * z
+            )
+    out_ref = x_t.numpy()
+
+    # JAX chain with the same z sequence through the mapped flax UNet.
+    to_native = lambda a: jnp.transpose(jnp.asarray(a), (0, 4, 2, 3, 1))
+    x = to_native(x0)
+    past = to_native(past_ref)
+    zs_native = jnp.asarray(np.transpose(zs, (0, 1, 5, 3, 4, 2)))
+
+    @jax.jit
+    def chain(x, past, zs_native):
+        def body(x, t):
+            t_vec = jnp.full((b,), t, dtype=jnp.int32)
+            eps = ours.apply(params, x, t_vec, past)
+            z = jnp.where(t > 0, zs_native[t], jnp.zeros_like(x))
+            beta = sched.beta[t]
+            x = (
+                sched.one_by_sqrt_alpha[t]
+                * (x - beta / sched.sqrt_one_minus_alpha_bar[t] * eps)
+                + jnp.sqrt(beta) * z
+            )
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(T - 1, -1, -1))
+        return x
+
+    out = chain(x, past, zs_native)
+    out_ref_native = np.transpose(out_ref, (0, 4, 2, 3, 1))
+    np.testing.assert_allclose(
+        np.asarray(out), out_ref_native, atol=5e-4,
+        err_msg="20-step reverse chains diverge between torch and jax",
+    )
