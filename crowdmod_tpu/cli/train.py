@@ -24,6 +24,9 @@ def build_parser():
     )
     p.add_argument("--epochs", type=int, default=None,
                    help="Override the config's epoch budget.")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume model state from the emergency 'abort' "
+                        "checkpoint if one exists.")
     p.add_argument("--run-dir", type=str, default=None)
     p.add_argument(
         "--data-parallel", action="store_true",
@@ -54,6 +57,8 @@ def run(argv=None) -> int:
 
     trainer = Trainer(cfg, args.arch, mesh=mesh, run_dir=args.run_dir,
                       seed=args.seed)
+    if args.resume and trainer.resume_from_abort():
+        logging.info("resumed from emergency checkpoint")
     mprops = trainer.mprops_count
     logging.info("loading training data (mprops_count=%d)", mprops)
     train_ds, val_ds = get_training_dataset(cfg, mprops, seed=args.seed)

@@ -81,3 +81,21 @@ def test_sweep_space_and_overrides():
             assert over["DATASET"]["BATCH_SIZE"] == trial["batch_size"]
     with pytest.raises(ValueError):
         sweep_space("nope")
+
+
+def test_cli_train_resume_flag(workspace):
+    ws = workspace
+    common = _common(ws) + ["--arch", "DDPM-UNet"]
+    rc = train.run(common + ["--run-dir", str(ws["tmp"] / "r1")])
+    assert rc == 0
+    # Fabricate an abort checkpoint from the trained state.
+    from crowdmod_tpu.config import load_config
+    from crowdmod_tpu.train import checkpoint as ckpt
+    from crowdmod_tpu.train.trainer import Trainer
+
+    cfg = load_config(ws["cfg"], ws["list"])
+    tr = Trainer(cfg, "DDPM-UNet").setup()
+    tr.save(cfg.DATA_FS.SAVE_DIR, "abort")
+    rc = train.run(common + ["--resume", "--epochs", "1",
+                             "--run-dir", str(ws["tmp"] / "r2")])
+    assert rc == 0
