@@ -100,3 +100,27 @@ def test_generate_synthetic_data_tool(workspace):
     diff = synth - true
     assert np.all(diff[:, 0, 3, 0, 0] >= 1.0)  # forward walker start
     assert np.allclose(diff[:, 0, 2], 0.0)     # other rows untouched
+
+
+def test_lambda_sweep_driver(workspace):
+    ws = workspace
+    rc = train.run([
+        "--config-yml-file", ws["cfg"], "--configList-yml-file", ws["list"],
+        "--arch", "DDPM-UNet", "--run-dir", str(ws["tmp"] / "run"),
+    ])
+    assert rc == 0
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import lambda_sweep
+    finally:
+        sys.path.pop(0)
+    root = str(ws["tmp"] / "lam")
+    rc = lambda_sweep.main([
+        "--config-yml-file", ws["cfg"], "--configList-yml-file", ws["list"],
+        "--arch", "DDPM-UNet", "--lambdas", "0.0", "0.01",
+        "--output-root", root, "--view",
+    ])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(root, "run_lambda_0.0"))
+    assert os.path.isdir(os.path.join(root, "run_lambda_0.01"))
+    assert os.path.exists(os.path.join(root, "lambda_viewer.html"))
