@@ -39,6 +39,9 @@ def run(argv=None) -> int:
     from crowdmod_tpu.train.trainer import Trainer
 
     cfg = load_config(args.config_yml_file, args.configList_yml_file)
+    from crowdmod_tpu.config.validate import require_valid
+
+    require_valid(cfg, args.arch)
     setup_logging(
         os.path.join(cfg.DATA_FS.OUTPUT_DIR, "logs", "genMetrics.log")
     )

@@ -44,6 +44,9 @@ def run(argv=None) -> int:
     from crowdmod_tpu.viz.plot_crowd import plot_losses
 
     cfg = load_config(args.config_yml_file, args.configList_yml_file)
+    from crowdmod_tpu.config.validate import require_valid
+
+    require_valid(cfg, args.arch)
     setup_logging(os.path.join(cfg.DATA_FS.OUTPUT_DIR, "logs", "train.log"))
 
     mesh = None
