@@ -120,7 +120,13 @@ def trial_overrides(arch: str, trial: dict) -> dict:
         elif k == "time_max_pos":
             pass  # MODEL.FM.TIME_MAX_POS, handled below
         elif k == "enc_hidden_ch":
-            node["ENC_HIDDEN_CH"] = list(v)
+            enc = list(v)
+            node["ENC_HIDDEN_CH"] = enc
+            # Keep the shared-state slot constraint
+            # (Forecaster: FORC[5,3,1] == ENC[1,3,5]).
+            node["FORC_HIDDEN_CH"] = [
+                enc[5], enc[5], enc[4], enc[3], enc[2], enc[1], enc[0]
+            ]
 
     if solver:
         train_node["SOLVER"] = solver
