@@ -99,3 +99,28 @@ def test_cli_train_resume_flag(workspace):
     rc = train.run(common + ["--resume", "--epochs", "1",
                              "--run-dir", str(ws["tmp"] / "r2")])
     assert rc == 0
+
+
+def test_cli_dispatch_params_and_compare(workspace, capsys, tmp_path):
+    """The unified dispatcher must route params/compare/view subcommands."""
+    ws = workspace
+    rc = cli_main(["params", "--config-yml-file", ws["cfg"],
+                   "--configList-yml-file", ws["list"],
+                   "--arch", "DDPM-UNet"])
+    assert rc == 0
+    assert "trainable params" in capsys.readouterr().out
+
+    # compare: build two tiny manifest dirs.
+    import json as _json
+
+    for name in ("A", "B"):
+        d = tmp_path / name
+        d.mkdir()
+        np.savetxt(d / "PSNR_x.csv", np.random.rand(5, 3), delimiter=",",
+                   header="rho,vx,vy", comments="")
+        with open(d / "metrics_files.json", "w") as f:
+            _json.dump({"title": name, "PSNR": str(d / "PSNR_x.csv")}, f)
+    rc = cli_main(["compare", str(tmp_path / "A"), str(tmp_path / "B"),
+                   "--output-dir", str(tmp_path / "cmp")])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "cmp" / "summary.csv")

@@ -124,3 +124,19 @@ def test_lambda_sweep_driver(workspace):
     assert os.path.isdir(os.path.join(root, "run_lambda_0.0"))
     assert os.path.isdir(os.path.join(root, "run_lambda_0.01"))
     assert os.path.exists(os.path.join(root, "lambda_viewer.html"))
+
+
+def test_tracker_log_artifact(tmp_path):
+    import json as _json
+
+    from crowdmod_tpu.utils.tracker import RunTracker
+
+    art = tmp_path / "x.gif"
+    art.write_bytes(b"GIF89a")
+    with RunTracker(str(tmp_path / "run"), use_wandb=False) as tr:
+        tr.log({"loss": 1.0}, step=0)
+        tr.log_artifact(str(art), kind="gifs")
+    events = [
+        _json.loads(l) for l in open(tmp_path / "run" / "events.jsonl")
+    ]
+    assert any(e.get("artifact") == str(art) for e in events)
