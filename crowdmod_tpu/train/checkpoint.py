@@ -58,22 +58,71 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+# One process-wide async checkpointer so in-flight saves are tracked and
+# waited on; created lazily (orbax spins up a thread pool).
+_ASYNC: Any = None
+# (checkpoint dir, sidecar path) pairs whose metadata moves into the dir
+# once the async commit finishes.
+_PENDING_META: list = []
+
+
+def _async_checkpointer():
+    global _ASYNC
+    if _ASYNC is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC
+
+
+def wait_for_saves() -> None:
+    """Block until every async checkpoint save has committed to disk, then
+    fold sidecar metadata into the committed directories."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
+    while _PENDING_META:
+        directory, sidecar = _PENDING_META.pop()
+        if directory.is_dir() and sidecar.exists():
+            sidecar.replace(directory / "metadata.json")
+
+
 def save_checkpoint(
     directory: str | os.PathLike,
     state: Any,
     metadata: dict | None = None,
+    *,
+    async_save: bool = False,
 ) -> str:
-    """Save a train-state pytree + metadata.json under ``directory``."""
+    """Save a train-state pytree + metadata.json under ``directory``.
+
+    ``async_save=True`` copies the state to host and returns immediately
+    while orbax commits in a background thread — the train loop keeps the
+    TPU busy during I/O.  Call :func:`wait_for_saves` (or save once more
+    synchronously) before reading the checkpoint back.
+    """
     directory = Path(directory).absolute()
+    if async_save:
+        _async_checkpointer().wait_until_finished()
     if directory.exists():
         # orbax refuses to overwrite; mirror torch.save's replace semantics.
         import shutil
 
         shutil.rmtree(directory)
-    _checkpointer().save(directory, jax.device_get(state))
-    if metadata is not None:
-        with open(directory / "metadata.json", "w") as f:
-            json.dump(metadata, f, indent=2, default=str)
+    host_state = jax.device_get(state)
+    if async_save:
+        _async_checkpointer().save(directory, host_state)
+        # orbax commits by renaming a tmp dir into place — metadata goes to
+        # a sidecar so it never races the rename; wait_for_saves folds it in.
+        if metadata is not None:
+            sidecar = Path(f"{directory}.meta.json")
+            with open(sidecar, "w") as f:
+                json.dump(metadata, f, indent=2, default=str)
+            _PENDING_META.append((directory, sidecar))
+    else:
+        _checkpointer().save(directory, host_state)
+        if metadata is not None:
+            with open(directory / "metadata.json", "w") as f:
+                json.dump(metadata, f, indent=2, default=str)
     return str(directory)
 
 
@@ -93,6 +142,8 @@ def load_checkpoint(directory: str | os.PathLike, template: Any | None = None):
     else:
         restored = _checkpointer().restore(directory)
     meta_path = directory / "metadata.json"
+    if not meta_path.exists():
+        meta_path = Path(f"{directory}.meta.json")  # async-save sidecar
     metadata = json.loads(meta_path.read_text()) if meta_path.exists() else None
     return restored, metadata
 

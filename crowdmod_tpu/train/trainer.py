@@ -317,11 +317,16 @@ class Trainer:
                 else:
                     nan_streak = 0
 
+                # In-loop checkpoints commit asynchronously so I/O
+                # overlaps the next epoch's compute; fit() waits before
+                # returning.
                 if epoch_loss < best:
                     best = epoch_loss
-                    self.save(save_dir, "000", extra={"epoch_loss": epoch_loss})
+                    self.save(save_dir, "000", extra={"epoch_loss": epoch_loss},
+                              async_save=True)
                 if epoch in late:
-                    self.save(save_dir, epoch, extra={"epoch_loss": epoch_loss})
+                    self.save(save_dir, epoch, extra={"epoch_loss": epoch_loss},
+                              async_save=True)
         except BaseException:
             # Crash/interrupt resilience the reference lacks (SURVEY §5.3):
             # persist the in-flight state so long runs resume instead of
@@ -333,6 +338,7 @@ class Trainer:
                 logging.exception("emergency checkpoint failed")
             raise
         finally:
+            ckpt.wait_for_saves()
             if own_tracker:
                 tracker.finish()
         return history
@@ -355,12 +361,14 @@ class Trainer:
     # ------------------------------------------------------------------
     # Checkpointing
     # ------------------------------------------------------------------
-    def save(self, save_dir: str, epoch: int | str, extra: dict | None = None):
+    def save(self, save_dir: str, epoch: int | str, extra: dict | None = None,
+             *, async_save: bool = False):
         name = ckpt.checkpoint_name(self.cfg, self.arch, epoch)
         path = os.path.join(save_dir, name)
         meta = ckpt.build_metadata(self.cfg, self.arch, epoch, extra)
         return ckpt.save_checkpoint(
-            path, {"params": self.state.params, "step": self.state.step}, meta
+            path, {"params": self.state.params, "step": self.state.step},
+            meta, async_save=async_save,
         )
 
     def load(self, path: str):

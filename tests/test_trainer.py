@@ -238,3 +238,26 @@ def test_native_tsan_build(tmp_path, monkeypatch):
     monkeypatch.setenv("CROWDMOD_NATIVE_CACHE", str(tmp_path / "san"))
     lib = build_library(force=True)
     assert lib is not None and lib.exists()
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from crowdmod_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+        wait_for_saves,
+    )
+
+    state = {"params": {"w": jnp.arange(12.0).reshape(3, 4)},
+             "step": jnp.int32(7)}
+    path = save_checkpoint(
+        tmp_path / "async_ck", state, {"arch": "DDPM-UNet"}, async_save=True
+    )
+    wait_for_saves()
+    restored, meta = load_checkpoint(path, template=state)
+    assert meta["arch"] == "DDPM-UNet"
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.arange(12.0).reshape(3, 4)
+    )
+    assert int(restored["step"]) == 7
