@@ -19,7 +19,14 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# The bench measures the documented speed configuration: bf16 compute and
+# tanh-approximation GELU (~1e-3 activation delta vs the reference's erf
+# GELU; the library default stays exact for bit-parity — see PERF.md for
+# both numbers: 63.3k tanh vs 48.4k exact).
+os.environ.setdefault("CROWDMOD_GELU", "tanh")
 
 import jax
 import jax.numpy as jnp
