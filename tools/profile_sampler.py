@@ -18,6 +18,8 @@ Usage::
 from __future__ import annotations
 
 import argparse
+import os as _os
+_os.environ.setdefault('CROWDMOD_GELU', 'tanh')  # match bench.py's speed config
 import itertools
 import os
 import sys
