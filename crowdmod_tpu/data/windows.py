@@ -16,7 +16,6 @@ from typing import Iterator
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 

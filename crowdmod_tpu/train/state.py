@@ -8,7 +8,6 @@ machinery drives DDPM, flow-matching, and ConvRNN training.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax

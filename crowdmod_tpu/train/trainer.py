@@ -20,9 +20,6 @@ from __future__ import annotations
 
 import logging
 import os
-from functools import partial
-from typing import Iterable
-
 import numpy as np
 
 import jax

@@ -7,8 +7,6 @@ per top-level module and in total for any architecture/config pair.
 
 from __future__ import annotations
 
-import argparse
-
 import jax
 import numpy as np
 
