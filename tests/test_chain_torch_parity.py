@@ -90,3 +90,56 @@ def test_reverse_chain_parity():
         np.asarray(out), out_ref_native, atol=5e-4,
         err_msg="20-step reverse chains diverge between torch and jax",
     )
+
+
+def test_fm_integrator_chain_parity():
+    """Euler and Heun integration chains (deterministic — no per-step noise)
+    through the mapped UNet must match a torch transcription of the
+    reference's integrators (flow_matching.py:203-250), including the
+    time-index clamp and Heun's +1 embedding offset."""
+    ref_unet, ours = build_models()
+    params = map_params(ref_unet)
+
+    b, p, f, h, w = 2, 5, 3, 8, 12
+    steps, tmax = 10, 100
+    rng = np.random.default_rng(3)
+    past_ref = rng.normal(size=(b, C, h, w, p)).astype(np.float32)
+    to_native = lambda a: jnp.transpose(jnp.asarray(a), (0, 4, 2, 3, 1))
+    past = to_native(past_ref)
+    past_t = torch.tensor(past_ref)
+
+    from crowdmod_tpu.models.flow_matching import euler_sample, heun_sample
+
+    key = jax.random.PRNGKey(11)
+    shape = (b, f, h, w, C)
+    x0 = np.asarray(jax.random.normal(key, shape, jnp.float32))
+    x0_ref = np.transpose(x0, (0, 4, 2, 3, 1))  # → (B, C, H, W, F)
+
+    # --- Euler (reference :214-222 transcription) ---
+    delta = 1.0 / steps
+    xt = torch.tensor(x0_ref)
+    with torch.no_grad():
+        for t in torch.linspace(0, 1, steps):
+            ti = (t * tmax).clamp(0, tmax - 1).long().expand(b)
+            u = ref_unet(xt, ti, past_t)
+            xt = xt + delta * u
+    ref_euler = np.transpose(xt.numpy(), (0, 4, 2, 3, 1))
+
+    denoise = lambda x, t, c: ours.apply(params, x, t, c)
+    out = euler_sample(denoise, past, key, shape, steps=steps,
+                       time_max_pos=tmax)
+    np.testing.assert_allclose(np.asarray(out), ref_euler, atol=5e-4)
+
+    # --- Heun (reference :227-250 transcription) ---
+    xt = torch.tensor(x0_ref)
+    with torch.no_grad():
+        for t in torch.linspace(0, 1, steps):
+            ti = (t * tmax).clamp(0, tmax - 1).long().expand(b)
+            k1 = ref_unet(xt, ti, past_t)
+            k2 = ref_unet(xt + delta * k1, ti + 1, past_t)
+            xt = xt + 0.5 * delta * (k1 + k2)
+    ref_heun = np.transpose(xt.numpy(), (0, 4, 2, 3, 1))
+
+    out = heun_sample(denoise, past, key, shape, steps=steps,
+                      time_max_pos=tmax)
+    np.testing.assert_allclose(np.asarray(out), ref_heun, atol=5e-4)
