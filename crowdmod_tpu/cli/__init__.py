@@ -7,6 +7,7 @@ the ``crowdmod`` console script:
   * ``generate_samples``  — sample a trained model + render plots/GIFs
   * ``generate_metrics``  — repeated-past metric suite → CSV/manifest/boxplots
   * ``sweep``             — random-search hyperparameter sweeps
+  * ``serve``             — HTTP inference server (batching, health, metrics)
 """
 
 from __future__ import annotations
@@ -57,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         "generate-samples": "crowdmod_tpu.cli.generate_samples",
         "generate-metrics": "crowdmod_tpu.cli.generate_metrics",
         "sweep": "crowdmod_tpu.cli.sweep",
+        "serve": "crowdmod_tpu.cli.serve",
         "compare": "crowdmod_tpu.viz.compare_models",
         "view": "crowdmod_tpu.viz.html_viewer",
         "params": "crowdmod_tpu.utils.model_info",

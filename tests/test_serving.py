@@ -60,3 +60,158 @@ def test_predictor_mesh_parallel(trained):
     out = pred.predict(past)
     assert out.shape == (8, 3, 8, 12, 3)
     assert np.isfinite(out).all()
+
+
+# ---------------------------------------------------------------------------
+# Micro-batching queue + HTTP server
+# ---------------------------------------------------------------------------
+
+class _FakePredictor:
+    """Predictor stand-in: records dispatch batch sizes, echoes shapes."""
+
+    batch_buckets = (2, 8)
+
+    def __init__(self):
+        from crowdmod_tpu.serving import PredictorStats
+
+        self.dispatch_sizes = []
+        self.stats = PredictorStats()
+        self.ready_gate = None  # optional threading.Event to stall dispatch
+
+    def _bucket(self, n):
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"batch {n} exceeds largest bucket")
+
+    def predict(self, past, key=None):
+        if self.ready_gate is not None:
+            self.ready_gate.wait(5.0)
+        self.dispatch_sizes.append(past.shape[0])
+        self.stats.record(past.shape[0], 0.001)
+        n, p = past.shape[:2]
+        return np.zeros((n, p - 2) + past.shape[2:], np.float32)
+
+
+def test_batching_queue_coalesces_concurrent_requests():
+    import threading
+
+    from crowdmod_tpu.serving import BatchingQueue
+
+    pred = _FakePredictor()
+    pred.ready_gate = threading.Event()
+    q = BatchingQueue(pred, max_delay_ms=200.0)
+    try:
+        # Stall the dispatcher so all three requests are queued together,
+        # then release: they must coalesce into ONE device dispatch.
+        futs = [q.submit(np.zeros((2, 5, 4, 4, 3), np.float32))
+                for _ in range(3)]
+        pred.ready_gate.set()
+        outs = [f.result(10.0) for f in futs]
+        assert all(o.shape == (2, 3, 4, 4, 3) for o in outs)
+        assert pred.dispatch_sizes == [6]
+        assert q.dispatches == 1 and q.coalesced_requests == 3
+    finally:
+        q.close()
+
+
+def test_batching_queue_keyed_requests_dispatch_solo():
+    import jax
+
+    from crowdmod_tpu.serving import BatchingQueue
+
+    pred = _FakePredictor()
+    q = BatchingQueue(pred, max_delay_ms=50.0)
+    try:
+        out = q.predict(np.zeros((1, 5, 4, 4, 3), np.float32),
+                        key=jax.random.PRNGKey(0), timeout=10.0)
+        assert out.shape == (1, 3, 4, 4, 3)
+        assert pred.dispatch_sizes == [1]
+        with pytest.raises(ValueError):
+            q.submit(np.zeros((9, 5, 4, 4, 3), np.float32))  # > largest bucket
+    finally:
+        q.close()
+    with pytest.raises(RuntimeError):
+        q.submit(np.zeros((1, 5, 4, 4, 3), np.float32))  # closed
+
+
+def test_http_server_endpoints():
+    import json
+    import threading
+    import urllib.request
+
+    from crowdmod_tpu.cli.serve import ServingApp, make_server
+
+    pred = _FakePredictor()
+    app = ServingApp(pred, max_delay_ms=1.0)
+    server = make_server(app)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        # Not ready before warmup → 503 readiness probe.
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"{base}/healthz")
+        assert exc.value.code == 503
+        app.ready.set()  # fake warmup (no compile in the fake)
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            assert r.status == 200
+
+        past = np.zeros((2, 5, 4, 4, 3), np.float32)
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps({"past": past.tolist(), "seed": 7}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        assert np.asarray(body["future"]).shape == (2, 3, 4, 4, 3)
+        assert body["latency_ms"] >= 0
+
+        with urllib.request.urlopen(f"{base}/metrics") as r:
+            text = r.read().decode()
+        assert "crowdmod_requests_total 1" in text
+        assert "crowdmod_ready 1" in text
+
+        # Malformed payload → 400, not a crash.
+        bad = urllib.request.Request(f"{base}/predict", data=b'{"nope": 1}')
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
+        app.close()
+
+
+def test_http_server_end_to_end(trained):
+    """Real trained predictor behind the HTTP server."""
+    import json
+    import threading
+    import urllib.request
+
+    from crowdmod_tpu.cli.serve import ServingApp, make_server
+
+    ws = trained
+    pred = load_predictor(
+        ws["cfg"], "DDPM-UNet", datafiles_yml=ws["list"], batch_buckets=(2,)
+    )
+    app = ServingApp(pred, max_delay_ms=1.0).warmup()
+    server = make_server(app)
+    host, port = server.server_address
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        past = np.zeros((5, 8, 12, 3), np.float32)  # no batch dim → added
+        req = urllib.request.Request(
+            f"http://{host}:{port}/predict",
+            data=json.dumps({"past": past.tolist(), "seed": 1}).encode(),
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        out = np.asarray(body["future"])
+        assert out.shape == (1, 3, 8, 12, 3)
+        assert np.isfinite(out).all()
+    finally:
+        server.shutdown()
+        app.close()
