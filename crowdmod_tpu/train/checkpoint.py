@@ -148,6 +148,85 @@ def load_checkpoint(directory: str | os.PathLike, template: Any | None = None):
     return restored, metadata
 
 
+def gc_checkpoints(
+    save_dir: str | os.PathLike,
+    cfg: FrozenConfig,
+    arch: str,
+    *,
+    keep_epochs: int | None = None,
+    remove_abort: bool = False,
+) -> list[str]:
+    """Garbage-collect this run's stale checkpoints under ``save_dir``.
+
+    Retention policy (the reference has none — old ``.pth`` files simply
+    accumulate):
+
+      * the best-loss checkpoint (tag ``000``) is always kept;
+      * of the numbered epoch checkpoints, only the ``keep_epochs`` highest
+        epochs survive (``0`` deletes all, ``None`` keeps all);
+      * the emergency ``abort`` checkpoint is dropped when ``remove_abort``
+        (i.e. after a run completes, its crash-recovery point is obsolete);
+      * half-committed ``*.orbax-checkpoint-tmp`` directories and orphaned
+        ``*.meta.json`` sidecars from crashed async saves are always removed.
+
+    Only checkpoints matching this (cfg, arch) run's naming scheme are
+    touched; other runs sharing the directory are invisible to the sweep.
+    Returns the removed paths.
+    """
+    import shutil
+
+    save = Path(save_dir)
+    if not save.is_dir():
+        return []
+    template = checkpoint_name(cfg, arch, "@EPOCH@")
+    pre, post = template.split("@EPOCH@")
+    removed: list[str] = []
+
+    def _rm(path: Path):
+        if path.is_dir():
+            shutil.rmtree(path)
+        else:
+            path.unlink()
+        sidecar = Path(f"{path}.meta.json")
+        if sidecar.exists():
+            sidecar.unlink()
+        removed.append(str(path))
+
+    numbered: list[tuple[int, Path]] = []
+    for entry in sorted(save.iterdir()):
+        name = entry.name
+        if name.endswith(".orbax-checkpoint-tmp"):
+            stem = name[: -len(".orbax-checkpoint-tmp")]
+            if stem.startswith(pre) and stem.endswith(post):
+                _rm(entry)
+            continue
+        if name.endswith(".meta.json"):
+            stem = name[: -len(".meta.json")]
+            if (stem.startswith(pre) and stem.endswith(post)
+                    and not (save / stem).exists()):
+                entry.unlink()
+                removed.append(str(entry))
+            continue
+        if not (name.startswith(pre) and name.endswith(post) and entry.is_dir()):
+            continue
+        tag = name[len(pre):len(name) - len(post)] if post else name[len(pre):]
+        if tag == "000":
+            continue
+        if tag == "abort":
+            if remove_abort:
+                _rm(entry)
+            continue
+        if tag.isdigit():
+            numbered.append((int(tag), entry))
+
+    if keep_epochs is not None:
+        numbered.sort()
+        drop = numbered if keep_epochs == 0 else numbered[:-keep_epochs]
+        for _, entry in drop:
+            _rm(entry)
+    return removed
+
+
 def build_metadata(cfg: FrozenConfig, arch: str, epoch: int | str,
                    extra: dict | None = None) -> dict:
     meta = {

@@ -257,6 +257,7 @@ class Trainer:
 
         best = float("inf")
         nan_streak = 0
+        completed = False
         history = {"train_loss": [], "val_loss": [], "lr": []}
         try:
             for epoch in range(1, epochs + 1):
@@ -324,6 +325,7 @@ class Trainer:
                 if epoch in late:
                     self.save(save_dir, epoch, extra={"epoch_loss": epoch_loss},
                               async_save=True)
+            completed = True
         except BaseException:
             # Crash/interrupt resilience the reference lacks (SURVEY §5.3):
             # persist the in-flight state so long runs resume instead of
@@ -338,6 +340,13 @@ class Trainer:
             ckpt.wait_for_saves()
             if own_tracker:
                 tracker.finish()
+        if completed:
+            # Run finished: its crash-recovery point is obsolete and only
+            # the newest `keep` late-epoch checkpoints are retained.
+            ckpt.gc_checkpoints(
+                save_dir, self.cfg, self.arch,
+                keep_epochs=keep, remove_abort=True,
+            )
         return history
 
     def evaluate(self, ds: WindowDataset) -> float:

@@ -10,7 +10,9 @@ import pytest
 
 from crowdmod_tpu.data.windows import WindowDataset
 from crowdmod_tpu.data.synthetic import synthetic_walkers
-from crowdmod_tpu.train.checkpoint import checkpoint_name, run_tag
+from crowdmod_tpu.train.checkpoint import (
+    checkpoint_name, gc_checkpoints, run_tag,
+)
 from crowdmod_tpu.train.trainer import Trainer
 
 
@@ -144,6 +146,57 @@ def test_generate_metrics_end_to_end(smoke_cfg, tmp_path):
     assert data["PSNR"].shape[1] == 3
     tag = run_tag(cfg, "DDPM-UNet", "000")
     assert (tmp_path / "metrics" / f"PSNR_NS4_{tag}.csv").exists()
+
+
+def test_gc_checkpoints_retention(smoke_cfg, tmp_path):
+    cfg = tiny_cfg(smoke_cfg, tmp_path)
+    save = tmp_path / "ckpts"
+    save.mkdir()
+
+    def mk(tag):
+        d = save / checkpoint_name(cfg, "DDPM-UNet", tag)
+        d.mkdir()
+        (d / "metadata.json").write_text("{}")
+        return d
+
+    best = mk("000")
+    abort = mk("abort")
+    epochs = {e: mk(e) for e in (3, 7, 12, 20)}
+    # Foreign run (different arch) must be untouched.
+    other = save / checkpoint_name(cfg, "FM-UNet", 5)
+    other.mkdir()
+    # Crash debris: half-committed tmp dir + orphaned sidecar.
+    tmp_dir = save / (checkpoint_name(cfg, "DDPM-UNet", 9)
+                      + ".orbax-checkpoint-tmp")
+    tmp_dir.mkdir()
+    orphan = save / (checkpoint_name(cfg, "DDPM-UNet", 11) + ".meta.json")
+    orphan.write_text("{}")
+
+    removed = gc_checkpoints(save, cfg, "DDPM-UNet",
+                             keep_epochs=2, remove_abort=True)
+    assert best.is_dir() and other.is_dir()
+    assert not abort.exists() and not tmp_dir.exists() and not orphan.exists()
+    assert not epochs[3].exists() and not epochs[7].exists()
+    assert epochs[12].is_dir() and epochs[20].is_dir()
+    assert len(removed) == 5  # abort, tmp, orphan, CE3, CE7
+
+    # keep_epochs=0 wipes all numbered; 000 still survives.
+    gc_checkpoints(save, cfg, "DDPM-UNet", keep_epochs=0)
+    assert best.is_dir()
+    assert not epochs[12].exists() and not epochs[20].exists()
+
+
+def test_fit_gc_removes_stale_abort(smoke_cfg, tmp_path):
+    """A completed fit() clears a previous crash's emergency checkpoint."""
+    cfg = tiny_cfg(smoke_cfg, tmp_path)
+    save = tmp_path / "ckpts"
+    save.mkdir()
+    stale = save / checkpoint_name(cfg, "DDPM-UNet", "abort")
+    stale.mkdir()
+    ds = walker_ds(cfg)
+    Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run")).fit(ds)
+    assert not stale.exists()
+    assert (save / checkpoint_name(cfg, "DDPM-UNet", "000")).is_dir()
 
 
 def test_checkpoint_name_scheme(atc_cfg):
