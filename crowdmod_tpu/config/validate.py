@@ -2,46 +2,30 @@
 
 The reference parses YAML into an EasyDict and fails deep inside the stack
 when a key is missing or a geometry is incompatible (SURVEY.md §5.6).  Here
-the CLI layer validates up front: required sections, value sanity, and the
-shape-divisibility rules each architecture imposes (UNet halving levels, DiT
-patch sizes).  Returns a list of problems so callers can report them all at
-once.
+the CLI layer validates up front, in two stages:
+
+  1. **Schema stage** — presence, types, positivity and enumerated choices
+     are derived from the typed declaration in ``schema.py`` (single source
+     of truth; nothing key-by-key here).
+  2. **Geometry stage** — cross-field rules each architecture imposes:
+     UNet halving levels, DiT patch divisibility, sequence-length sanity.
+
+Returns a list of problems so callers can report them all at once.
 """
 
 from __future__ import annotations
 
 from crowdmod_tpu.config.frozen import FrozenConfig
+from crowdmod_tpu.config.schema import schema_problems
 
-REQUIRED_SECTIONS = ("DATA_FS", "MACROPROPS", "DATASET", "MODEL", "METRICS")
-
-SAMPLERS = ("DDPM", "DDIM", "DPM-Solver")
-GUIDANCE = ("None", "Sparsity", "mass_preservation")
-
-
-def _positive(cfg, path, problems, kind=int):
-    v = cfg.get_path(path)
-    if v is None:
-        problems.append(f"{path} is missing")
-    elif not isinstance(v, kind) or isinstance(v, bool) or v <= 0:
-        problems.append(f"{path} must be a positive {kind.__name__}, got {v!r}")
+ARCHS = ("DDPM-UNet", "DDPM-DiT", "FM-UNet", "FM-DiT", "ConvRNN")
 
 
 def validate_config(cfg: FrozenConfig, arch: str | None = None) -> list[str]:
     """→ list of human-readable problems (empty = valid)."""
-    problems: list[str] = []
-    for section in REQUIRED_SECTIONS:
-        if section not in cfg:
-            problems.append(
-                f"missing top-level section {section} "
-                f"(see configs/ATC.yml for the schema)"
-            )
+    problems = schema_problems(cfg)
     if problems:
         return problems
-
-    for path in ("MACROPROPS.ROWS", "MACROPROPS.COLS", "MACROPROPS.STRIDE",
-                 "DATASET.PAST_LEN", "DATASET.FUTURE_LEN",
-                 "DATASET.BATCH_SIZE", "DATASET.RAW_SEQ_LEN"):
-        _positive(cfg, path, problems)
 
     h, w = cfg.get_path("MACROPROPS.ROWS"), cfg.get_path("MACROPROPS.COLS")
     p_len = cfg.get_path("DATASET.PAST_LEN")
@@ -52,22 +36,6 @@ def validate_config(cfg: FrozenConfig, arch: str | None = None) -> list[str]:
             f"DATASET.RAW_SEQ_LEN ({raw}) shorter than "
             f"PAST_LEN+FUTURE_LEN ({p_len}+{f_len})"
         )
-
-    ddpm = cfg.get_path("MODEL.DDPM")
-    if ddpm is not None:
-        sampler = ddpm.get("SAMPLER")
-        if sampler is not None and sampler not in SAMPLERS:
-            problems.append(
-                f"MODEL.DDPM.SAMPLER {sampler!r} unknown; expected {SAMPLERS}"
-            )
-        guid = ddpm.get("GUIDANCE")
-        if guid is not None and guid not in GUIDANCE:
-            problems.append(
-                f"MODEL.DDPM.GUIDANCE {guid!r} unknown; expected {GUIDANCE}"
-            )
-        ts = ddpm.get("TIMESTEPS")
-        if ts is not None and (not isinstance(ts, int) or ts < 1):
-            problems.append(f"MODEL.DDPM.TIMESTEPS must be >= 1, got {ts!r}")
 
     # Architecture-specific geometry rules.
     def check_dit(node, label):

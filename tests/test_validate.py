@@ -40,6 +40,53 @@ def test_bad_values(atc_cfg):
         require_valid(cfg)
 
 
+def test_typed_config_view(atc_cfg):
+    from crowdmod_tpu.config.schema import typed_config
+
+    t = typed_config(atc_cfg)
+    assert t.MACROPROPS.ROWS == 12 and t.MACROPROPS.COLS == 36
+    assert t.DATASET.PAST_LEN == 5 and t.DATASET.FUTURE_LEN == 3
+    assert t.MODEL.DDPM.TIMESTEPS == 1000
+    assert t.MODEL.DDPM.UNET.BASE_CH_MULT == (1, 2, 4)
+    assert t.MODEL.DDPM.UNET.TRAIN.SOLVER.BETAS == (0.5, 0.999)
+    assert t.MODEL.FM.INTEGRATOR_STEPS.EULER == 1000
+    assert t.MODEL.CONVRNN.CELL_CLASS == "ConvGRUCell"
+    assert t.TPU.COMPUTE_DTYPE == "bfloat16"
+    # Frozen: misassignment is impossible, not just discouraged.
+    with pytest.raises(Exception):
+        t.MACROPROPS.ROWS = 13
+
+
+def test_typed_config_reports_all_problems(atc_cfg):
+    from crowdmod_tpu.config.schema import typed_config
+
+    cfg = atc_cfg.updated({
+        "DATASET": {"PAST_LEN": "five"},
+        "MODEL": {"DDPM": {"TIMESTEPS": -1},
+                  "CONVRNN": {"CELL_CLASS": "ConvTardisCell"}},
+    })
+    with pytest.raises(ValueError) as exc:
+        typed_config(cfg)
+    msg = str(exc.value)
+    assert "DATASET.PAST_LEN" in msg
+    assert "MODEL.DDPM.TIMESTEPS" in msg
+    assert "ConvTardisCell" in msg
+
+
+def test_schema_type_errors_are_caught(atc_cfg):
+    # Wrong element type inside a tuple field, reported with its index.
+    cfg = atc_cfg.updated(
+        {"MODEL": {"DDPM": {"UNET": {"BASE_CH_MULT": [1, "two", 4]}}}}
+    )
+    problems = validate_config(cfg)
+    assert any("BASE_CH_MULT[1]" in p for p in problems)
+
+    # bool is not an int (Python would happily treat True as 1).
+    cfg = atc_cfg.updated({"MACROPROPS": {"ROWS": True}})
+    problems = validate_config(cfg)
+    assert any("MACROPROPS.ROWS" in p and "int" in p for p in problems)
+
+
 def test_geometry_rules(atc_cfg):
     # DiT patch indivisibility.
     cfg = atc_cfg.updated({"MODEL": {"DDPM": {"DIT": {"PATCH_SIZE": 5}}}})
