@@ -98,6 +98,20 @@ def _load_one(path: str, use_cmb: bool) -> np.ndarray:
     return arr
 
 
+def load_pickle_native(path: str, mprops_count: int = 4) -> np.ndarray:
+    """Load ONE macroprop pickle → native ``(n, L, H, W, C)`` float32.
+
+    Single-file unit of the streaming pipeline
+    (:class:`crowdmod_tpu.data.prefetch.FileWindowStream`): .cmb sidecar
+    cache + threaded layout transpose, no whole-corpus preallocation.
+    """
+    use_cmb = os.environ.get("CROWDMOD_CMB_CACHE", "1") != "0"
+    arr = _load_one(path, use_cmb)
+    from crowdmod_tpu.native import transpose_to_native
+
+    return np.ascontiguousarray(transpose_to_native(arr)[..., :mprops_count])
+
+
 def load_pickles(
     files_and_counts: list[tuple[str, int]],
     mprops_count: int,

@@ -1,0 +1,175 @@
+"""Double-buffered input pipeline for datasets larger than device memory.
+
+The reference streams nothing: every pickle is loaded up front into one host
+array (/root/reference/utils/dataset.py:72-106) and DataLoader workers feed
+single-device copies per batch.  Here the resident case is already optimal —
+:class:`~crowdmod_tpu.data.windows.WindowDataset` keeps the raw tensor in HBM
+and gathers batches on device — so this module covers the *streaming* case:
+
+  * :func:`device_prefetch` — classic double buffering: a background thread
+    runs ``jax.device_put`` (optionally with a ``NamedSharding``) ``depth``
+    batches ahead, so the host→HBM copy of batch k+1 overlaps the compute of
+    batch k instead of serializing with it.
+  * :class:`FileWindowStream` — epoch iterator over a *list of pickle
+    files* that never holds more than two files in memory: while the
+    windows of file k are training, a loader thread reads and lays out file
+    k+1 (C++ threaded transpose when the native runtime is built).
+  * :func:`host_shard` — deterministic round-robin file split for
+    multi-host ingestion: each host reads only its own files (DCN carries
+    nothing but the gradient all-reduce).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+import jax
+
+
+_SENTINEL = object()
+
+
+def device_prefetch(batches: Iterable, *, depth: int = 2, sharding=None,
+                    donate_hint: bool = False) -> Iterator:
+    """Yield device-resident batches, transferring ``depth`` ahead.
+
+    ``batches`` yields host-side pytrees (numpy arrays / tuples).  A daemon
+    thread pushes them through ``jax.device_put`` into a bounded queue; the
+    consumer always finds the next batch already in HBM.  With a
+    ``sharding``, the put lands shards directly on every device of the mesh.
+
+    Exceptions in the source iterator propagate to the consumer.
+    """
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            for batch in batches:
+                if sharding is not None:
+                    batch = jax.device_put(batch, sharding)
+                else:
+                    batch = jax.device_put(batch)
+                q.put(batch)
+        except BaseException as e:  # noqa: BLE001 - forwarded to consumer
+            q.put(e)
+            return
+        q.put(_SENTINEL)
+
+    threading.Thread(target=worker, daemon=True,
+                     name="crowdmod-prefetch").start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def host_shard(files: Sequence, process_index: int | None = None,
+               process_count: int | None = None) -> list:
+    """Round-robin slice of ``files`` owned by this host.
+
+    Deterministic in file order, so every host agrees on the assignment
+    without communication.  Defaults to the current jax process layout.
+    """
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    if not 0 <= process_index < process_count:
+        raise ValueError(
+            f"process_index {process_index} out of range [0, {process_count})"
+        )
+    return [f for i, f in enumerate(files) if i % process_count == process_index]
+
+
+class FileWindowStream:
+    """Stream (past, future) batches across pickle files, one file resident.
+
+    For corpora too large for HBM (the full ATC year is ~41 files,
+    SURVEY.md §2.1), the epoch loops over files; file k+1 loads on a
+    background thread while file k trains.  Window/batch semantics within a
+    file match :class:`WindowDataset`.
+
+    Parameters mirror the reference loader: files are ``(N, C, H, W, L)``
+    pickles (layout transposed on load), ``mprops_count`` slices channels.
+    """
+
+    def __init__(self, files: Sequence[str], *, past_len: int,
+                 future_len: int, stride: int, mprops_count: int = 3,
+                 sharding=None):
+        if not files:
+            raise ValueError("FileWindowStream needs at least one file")
+        self.files = list(files)
+        self.past_len = past_len
+        self.future_len = future_len
+        self.stride = stride
+        self.mprops_count = mprops_count
+        self.sharding = sharding
+
+    # ------------------------------------------------------------------
+    def _load_host(self, path: str) -> np.ndarray:
+        """Read one pickle → (N, L, H, W, C) native-layout host array."""
+        from crowdmod_tpu.data.ingest import load_pickle_native
+
+        return load_pickle_native(path, self.mprops_count)
+
+    def _files_ahead(self) -> Iterator[np.ndarray]:
+        """Yield host arrays with one-file read-ahead (double buffer)."""
+        q: queue.Queue = queue.Queue(maxsize=1)
+
+        def loader():
+            try:
+                for path in self.files:
+                    q.put(self._load_host(path))
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
+                return
+            q.put(_SENTINEL)
+
+        threading.Thread(target=loader, daemon=True,
+                         name="crowdmod-file-loader").start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def batches(self, batch_size: int, *, shuffle: bool = True,
+                seed: int = 0) -> Iterator:
+        """One epoch: device-resident (past, future) batches over all files.
+
+        Shuffling is within-file (global shuffles would defeat streaming);
+        shard files across hosts with :func:`host_shard` for cross-file
+        decorrelation at scale.
+        """
+        from crowdmod_tpu.data.windows import WindowDataset
+
+        import jax.numpy as jnp
+
+        for file_i, host_arr in enumerate(self._files_ahead()):
+            ds = WindowDataset(
+                jnp.asarray(host_arr), past_len=self.past_len,
+                future_len=self.future_len, stride=self.stride,
+            )
+            order = np.arange(len(ds))
+            if shuffle:
+                np.random.default_rng(seed + file_i).shuffle(order)
+            n_full = len(order) // batch_size
+            for b in range(n_full):
+                past, future = ds.gather(
+                    order[b * batch_size:(b + 1) * batch_size]
+                )
+                if self.sharding is not None:
+                    past = jax.device_put(past, self.sharding)
+                    future = jax.device_put(future, self.sharding)
+                yield past, future

@@ -1,0 +1,128 @@
+"""Streaming input pipeline: double-buffered device prefetch, file
+streaming, multi-host file sharding."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crowdmod_tpu.data.prefetch import (
+    FileWindowStream, device_prefetch, host_shard,
+)
+
+
+def test_device_prefetch_preserves_order_and_values():
+    rng = np.random.default_rng(0)
+    src = [(rng.normal(size=(4, 3)).astype(np.float32),
+            rng.normal(size=(4, 2)).astype(np.float32)) for _ in range(7)]
+    out = list(device_prefetch(iter(src), depth=2))
+    assert len(out) == 7
+    for (a, b), (da, db) in zip(src, out):
+        assert isinstance(da, jax.Array)
+        np.testing.assert_array_equal(a, np.asarray(da))
+        np.testing.assert_array_equal(b, np.asarray(db))
+
+
+def test_device_prefetch_with_sharding():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from crowdmod_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=8)
+    sharding = NamedSharding(mesh, P("data"))
+    src = [np.arange(8 * 6, dtype=np.float32).reshape(8, 6) for _ in range(3)]
+    out = list(device_prefetch(iter(src), sharding=sharding))
+    assert len(out) == 3
+    for x in out:
+        assert len(x.sharding.device_set) == 8
+        np.testing.assert_array_equal(np.asarray(x), src[0])
+
+
+def test_device_prefetch_propagates_source_errors():
+    def bad():
+        yield np.zeros(3, np.float32)
+        raise RuntimeError("disk on fire")
+
+    it = device_prefetch(bad())
+    next(it)
+    with pytest.raises(RuntimeError, match="disk on fire"):
+        next(it)
+    with pytest.raises(ValueError):
+        next(device_prefetch(iter([]), depth=0))
+
+
+def test_host_shard_round_robin():
+    files = [f"f{i}" for i in range(10)]
+    shards = [host_shard(files, i, 3) for i in range(3)]
+    assert shards[0] == ["f0", "f3", "f6", "f9"]
+    assert shards[1] == ["f1", "f4", "f7"]
+    assert sorted(sum(shards, [])) == sorted(files)
+    # Single-process default covers everything.
+    assert host_shard(files) == files
+    with pytest.raises(ValueError):
+        host_shard(files, 3, 3)
+
+
+def test_file_window_stream_matches_resident_dataset(tmp_path):
+    """Streaming epoch == resident WindowDataset epoch on the same files."""
+    from crowdmod_tpu.data.windows import WindowDataset
+
+    h, w, L, n = 4, 6, 12, 3
+    rng = np.random.default_rng(1)
+    paths, arrays = [], []
+    for k in range(2):
+        arr = rng.normal(size=(n, 4, h, w, L)).astype(np.float32)
+        p = tmp_path / f"f{k}.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(arr, f)
+        paths.append(str(p))
+        arrays.append(arr)
+
+    stream = FileWindowStream(
+        paths, past_len=5, future_len=3, stride=4, mprops_count=3,
+    )
+    got = list(stream.batches(batch_size=2, shuffle=False))
+    assert got and all(p.shape == (2, 5, h, w, 3) for p, _ in got)
+
+    # Expected: per-file resident datasets, same batch walk.
+    expected = []
+    for arr in arrays:
+        native = np.ascontiguousarray(
+            np.transpose(arr, (0, 4, 2, 3, 1))[..., :3]
+        )
+        ds = WindowDataset(jnp.asarray(native), past_len=5, future_len=3,
+                           stride=4)
+        order = np.arange(len(ds))
+        for b in range(len(order) // 2):
+            expected.append(ds.gather(order[b * 2:(b + 1) * 2]))
+    assert len(got) == len(expected)
+    for (gp, gf), (ep, ef) in zip(got, expected):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(ep))
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(ef))
+
+
+def test_file_window_stream_trains(tmp_path, smoke_cfg):
+    """A Trainer epoch can consume the stream directly (shape contract)."""
+    from crowdmod_tpu.data.synthetic import synthetic_walkers
+
+    h, w = 8, 12
+    paths = []
+    for k in range(2):
+        raw = synthetic_walkers(3, h, w, 16)  # (n, L, H, W, C) native
+        ref_layout = np.transpose(raw, (0, 4, 2, 3, 1))  # back to (n,C,H,W,L)
+        p = tmp_path / f"w{k}.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(ref_layout.astype(np.float32), f)
+        paths.append(str(p))
+
+    stream = FileWindowStream(paths, past_len=5, future_len=3, stride=8,
+                              mprops_count=3)
+    seen = 0
+    for past, future in device_prefetch(stream.batches(2, shuffle=True)):
+        assert past.shape == (2, 5, h, w, 3)
+        assert future.shape == (2, 3, h, w, 3)
+        seen += 1
+    assert seen >= 2
