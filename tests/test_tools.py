@@ -140,3 +140,28 @@ def test_tracker_log_artifact(tmp_path):
         _json.loads(l) for l in open(tmp_path / "run" / "events.jsonl")
     ]
     assert any(e.get("artifact") == str(art) for e in events)
+
+
+def test_api_docs_in_sync(tmp_path):
+    """docs/API.md regenerates identically — API changes must re-run
+    tools/gen_api_docs.py (same guard pattern as the config-sync test)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    committed = (repo / "docs" / "API.md").read_text()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run(
+        [sys.executable, str(repo / "tools" / "gen_api_docs.py")],
+        check=True, env=env, capture_output=True,
+    )
+    regenerated = (repo / "docs" / "API.md").read_text()
+    assert regenerated == committed, (
+        "docs/API.md is stale; run: JAX_PLATFORMS=cpu python "
+        "tools/gen_api_docs.py"
+    )
+    # Spot-check load-bearing public symbols are documented.
+    for sym in ("ddpm_sample", "BatchingQueue", "FileWindowStream",
+                "typed_config", "MetricsEngine"):
+        assert sym in committed, f"{sym} missing from API reference"
