@@ -25,7 +25,7 @@ import time
 # The bench measures the documented speed configuration: bf16 compute and
 # tanh-approximation GELU (~1e-3 activation delta vs the reference's erf
 # GELU; the library default stays exact for bit-parity — see PERF.md for
-# both numbers: 63.3k tanh vs 48.4k exact).
+# both numbers: 64.4k tanh vs 48.4k exact).
 os.environ.setdefault("CROWDMOD_GELU", "tanh")
 
 import jax
