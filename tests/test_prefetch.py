@@ -104,6 +104,47 @@ def test_file_window_stream_matches_resident_dataset(tmp_path):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(ef))
 
 
+def test_stream_feeds_sharded_train_step(tmp_path, smoke_cfg):
+    """FileWindowStream → device_prefetch(sharded) → mesh Trainer step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from crowdmod_tpu.data.synthetic import synthetic_walkers
+    from crowdmod_tpu.parallel.mesh import make_mesh
+    from crowdmod_tpu.train.trainer import Trainer
+
+    h, w = 8, 12
+    paths = []
+    for k in range(2):
+        raw = synthetic_walkers(4, h, w, 16)
+        ref_layout = np.transpose(raw, (0, 4, 2, 3, 1)).astype(np.float32)
+        p = tmp_path / f"w{k}.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(ref_layout, f)
+        paths.append(str(p))
+
+    mesh = make_mesh(data=8)
+    sharding = NamedSharding(mesh, P("data"))
+    cfg = smoke_cfg.updated({
+        "MACROPROPS": {"ROWS": h, "COLS": w},
+        "MODEL": {"DDPM": {"TIMESTEPS": 5, "UNET": {
+            "BASE_CH": 8, "BASE_CH_MULT": [1, 2],
+            "APPLY_ATTENTION": [False, False], "DROPOUT_RATE": 0.0,
+            "TRAIN": {"EPOCHS": 1}}}},
+    })
+    tr = Trainer(cfg, "DDPM-UNet", mesh=mesh,
+                 run_dir=str(tmp_path / "run")).setup()
+    stream = FileWindowStream(paths, past_len=5, future_len=3, stride=4,
+                              mprops_count=3)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for batch in device_prefetch(stream.batches(8, shuffle=True),
+                                 sharding=sharding):
+        key, sub = jax.random.split(key)
+        tr.state, loss = tr._train_step(tr.state, batch, sub)
+        losses.append(float(loss))
+    assert len(losses) >= 2 and np.isfinite(losses).all()
+
+
 def test_file_window_stream_trains(tmp_path, smoke_cfg):
     """A Trainer epoch can consume the stream directly (shape contract)."""
     from crowdmod_tpu.data.synthetic import synthetic_walkers
