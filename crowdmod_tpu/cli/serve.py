@@ -154,8 +154,18 @@ def run(argv=None) -> int:
                    help="micro-batching window for request coalescing")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard request batches over all local devices")
+    p.add_argument("--compile-cache", type=str, nargs="?", const="",
+                   default=None, metavar="DIR",
+                   help="persist compiled buckets to DIR (default "
+                        "~/.cache/crowdmod_tpu/xla) so restarts warm up "
+                        "in seconds instead of recompiling")
     args = p.parse_args(argv)
     setup_logging("logs/serve.log")
+
+    if args.compile_cache is not None:
+        from crowdmod_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache or None)
 
     from crowdmod_tpu.serving import load_predictor
 

@@ -215,3 +215,30 @@ def test_http_server_end_to_end(trained):
     finally:
         server.shutdown()
         app.close()
+
+
+def test_compilation_cache_persists(tmp_path):
+    """enable_compilation_cache writes reusable executables to disk."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from crowdmod_tpu.utils.compile_cache import enable_compilation_cache
+
+    d = enable_compilation_cache(str(tmp_path / "xla"))
+    try:
+        # Lower the persistence threshold so a CPU-fast test compile lands.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+        @jax.jit
+        def f(x):
+            for _ in range(6):
+                x = jnp.tanh(x @ x.T) @ x
+            return x
+
+        f(jnp.ones((96, 96))).block_until_ready()
+        assert glob.glob(d + "/*"), "no cache entries written"
+    finally:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_compilation_cache_dir", None)
