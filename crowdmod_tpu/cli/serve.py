@@ -53,6 +53,13 @@ class ServingApp:
         past = np.asarray(payload["past"], np.float32)
         if past.ndim == 4:  # single sequence without batch dim
             past = past[None]
+        expected = self.predictor._shape  # (P, F, H, W, C)
+        p, _, h, w, c = expected
+        if past.ndim != 5 or past.shape[1:] != (p, h, w, c):
+            raise ValueError(
+                f"past must be (N, {p}, {h}, {w}, {c}) for this model, "
+                f"got {past.shape}"
+            )
         key = None
         if payload.get("seed") is not None:
             import jax

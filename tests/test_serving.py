@@ -70,6 +70,7 @@ class _FakePredictor:
     """Predictor stand-in: records dispatch batch sizes, echoes shapes."""
 
     batch_buckets = (2, 8)
+    _shape = (5, 3, 4, 4, 3)  # (P, F, H, W, C)
 
     def __init__(self):
         from crowdmod_tpu.serving import PredictorStats
@@ -179,6 +180,18 @@ def test_http_server_endpoints():
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(bad)
         assert exc.value.code == 400
+
+        # Wrong geometry → 400 with the expected shape in the message.
+        wrong = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps(
+                {"past": np.zeros((2, 5, 9, 9, 3), np.float32).tolist()}
+            ).encode(),
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(wrong)
+        assert exc.value.code == 400
+        assert "must be (N, 5, 4, 4, 3)" in exc.value.read().decode()
     finally:
         server.shutdown()
         app.close()
