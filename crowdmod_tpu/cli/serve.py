@@ -31,30 +31,62 @@ from crowdmod_tpu.cli import common_parser, setup_logging
 
 
 class ServingApp:
-    """Holds the predictor + batching queue + readiness state."""
+    """Predictor(s) + batching queue(s) + readiness state.
 
-    def __init__(self, predictor, *, max_delay_ms: float = 5.0):
+    Single-model: ``ServingApp(predictor)``.  Multi-model:
+    ``ServingApp({"ddpm-dit": pred_a, "convrnn": pred_b})`` — requests route
+    by the payload's ``"model"`` field (the first registered model is the
+    default), each model gets its own micro-batching queue, and /metrics
+    reports per-model labeled series.
+    """
+
+    def __init__(self, predictors, *, max_delay_ms: float = 5.0):
         from crowdmod_tpu.serving import BatchingQueue
 
-        self.predictor = predictor
-        self.queue = BatchingQueue(predictor, max_delay_ms=max_delay_ms)
+        if not isinstance(predictors, dict):
+            predictors = {"default": predictors}
+        if not predictors:
+            raise ValueError("ServingApp needs at least one predictor")
+        self.predictors = dict(predictors)
+        self.default_model = next(iter(self.predictors))
+        self.queues = {
+            name: BatchingQueue(p, max_delay_ms=max_delay_ms)
+            for name, p in self.predictors.items()
+        }
         self.ready = threading.Event()
 
+    # Single-model conveniences (used throughout tests/examples).
+    @property
+    def predictor(self):
+        return self.predictors[self.default_model]
+
+    @property
+    def queue(self):
+        return self.queues[self.default_model]
+
     def warmup(self):
-        self.predictor.warmup()
+        for name, p in self.predictors.items():
+            p.warmup()
+            logging.info("model %r warmed", name)
         self.ready.set()
         return self
 
     def close(self):
-        self.queue.close()
+        for q in self.queues.values():
+            q.close()
 
     # ------------------------------------------------------------------
     def handle_predict(self, payload: dict) -> dict:
+        name = payload.get("model", self.default_model)
+        if name not in self.predictors:
+            raise ValueError(
+                f"unknown model {name!r}; serving {sorted(self.predictors)}"
+            )
+        predictor = self.predictors[name]
         past = np.asarray(payload["past"], np.float32)
         if past.ndim == 4:  # single sequence without batch dim
             past = past[None]
-        expected = self.predictor._shape  # (P, F, H, W, C)
-        p, _, h, w, c = expected
+        p, _, h, w, c = predictor._shape  # (P, F, H, W, C)
         if past.ndim != 5 or past.shape[1:] != (p, h, w, c):
             raise ValueError(
                 f"past must be (N, {p}, {h}, {w}, {c}) for this model, "
@@ -68,28 +100,50 @@ class ServingApp:
         import time
 
         t0 = time.perf_counter()
-        future = self.queue.predict(past, key)
+        future = self.queues[name].predict(past, key)
         return {
             "future": np.asarray(future).tolist(),
+            "model": name,
             "latency_ms": 1e3 * (time.perf_counter() - t0),
         }
 
+    def models_info(self) -> dict:
+        out = {}
+        for name, p in self.predictors.items():
+            past_len, f, h, w, c = p._shape
+            out[name] = {
+                "arch": p.arch,
+                "past_shape": [past_len, h, w, c],
+                "future_shape": [f, h, w, c],
+                "batch_buckets": list(p.batch_buckets),
+                "default": name == self.default_model,
+            }
+        return out
+
     def metrics_text(self) -> str:
-        s = self.predictor.stats
-        q = self.queue
         lines = [
             "# TYPE crowdmod_requests_total counter",
-            f"crowdmod_requests_total {s.requests}",
             "# TYPE crowdmod_samples_total counter",
-            f"crowdmod_samples_total {s.samples}",
             "# TYPE crowdmod_request_latency_seconds_sum counter",
-            f"crowdmod_request_latency_seconds_sum {s.total_latency_s:.6f}",
             "# TYPE crowdmod_dispatches_total counter",
-            f"crowdmod_dispatches_total {q.dispatches}",
             "# TYPE crowdmod_coalesced_requests_total counter",
-            f"crowdmod_coalesced_requests_total {q.coalesced_requests}",
             "# TYPE crowdmod_queue_depth gauge",
-            f"crowdmod_queue_depth {q.depth}",
+        ]
+        single = len(self.predictors) == 1
+        for name, p in self.predictors.items():
+            s, q = p.stats, self.queues[name]
+            lbl = "" if single else f'{{model="{name}"}}'
+            lines += [
+                f"crowdmod_requests_total{lbl} {s.requests}",
+                f"crowdmod_samples_total{lbl} {s.samples}",
+                f"crowdmod_request_latency_seconds_sum{lbl} "
+                f"{s.total_latency_s:.6f}",
+                f"crowdmod_dispatches_total{lbl} {q.dispatches}",
+                f"crowdmod_coalesced_requests_total{lbl} "
+                f"{q.coalesced_requests}",
+                f"crowdmod_queue_depth{lbl} {q.depth}",
+            ]
+        lines += [
             "# TYPE crowdmod_ready gauge",
             f"crowdmod_ready {int(self.ready.is_set())}",
         ]
@@ -122,6 +176,8 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/metrics":
             self._send(200, self.app.metrics_text(),
                        "text/plain; version=0.0.4")
+        elif self.path == "/models":
+            self._send(200, json.dumps(self.app.models_info()))
         else:
             self._send(404, '{"error": "not found"}')
 
@@ -152,8 +208,14 @@ def make_server(app: ServingApp, host: str = "127.0.0.1",
 
 
 def run(argv=None) -> int:
-    p = common_parser("Serve a trained model over HTTP.")
+    p = common_parser("Serve one or more trained models over HTTP.")
     p.add_argument("--epoch-tag", type=str, default="000")
+    p.add_argument(
+        "--extra-arch", type=str, nargs="*", default=[],
+        help="additional archs to serve from the same config/checkpoint dir; "
+             "requests route by their 'model' field (names are the "
+             "lower-cased arch)",
+    )
     p.add_argument("--host", type=str, default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-buckets", type=int, nargs="+", default=[1, 8, 64])
@@ -176,22 +238,28 @@ def run(argv=None) -> int:
 
     from crowdmod_tpu.serving import load_predictor
 
-    predictor = load_predictor(
-        args.config_yml_file, args.arch,
-        datafiles_yml=args.configList_yml_file,
-        epoch_tag=args.epoch_tag,
-        data_parallel=args.data_parallel,
-        batch_buckets=tuple(args.batch_buckets),
-        seed=args.seed,
-    )
-    app = ServingApp(predictor, max_delay_ms=args.max_delay_ms)
+    def load(arch):
+        return load_predictor(
+            args.config_yml_file, arch,
+            datafiles_yml=args.configList_yml_file,
+            epoch_tag=args.epoch_tag,
+            data_parallel=args.data_parallel,
+            batch_buckets=tuple(args.batch_buckets),
+            seed=args.seed,
+        )
+
+    predictors = {args.arch.lower(): load(args.arch)}
+    for arch in args.extra_arch:
+        predictors[arch.lower()] = load(arch)
+    app = ServingApp(predictors, max_delay_ms=args.max_delay_ms)
     server = make_server(app, args.host, args.port)
     logging.info("listening on %s:%d (warming up)", *server.server_address)
     # Serve /healthz 503 while buckets compile, then flip ready.
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     app.warmup()
-    logging.info("ready: buckets %s compiled", predictor.batch_buckets)
+    logging.info("ready: %d model(s), buckets %s compiled",
+                 len(app.predictors), tuple(args.batch_buckets))
     try:
         thread.join()
     except KeyboardInterrupt:

@@ -230,6 +230,63 @@ def test_http_server_end_to_end(trained):
         app.close()
 
 
+def test_multi_model_routing():
+    import json
+    import threading
+    import urllib.request
+
+    from crowdmod_tpu.cli.serve import ServingApp, make_server
+
+    class _Fake2(_FakePredictor):
+        _shape = (4, 2, 6, 6, 3)  # different geometry
+        arch = "DDPM-DiT"
+
+    _FakePredictor.arch = "DDPM-UNet"
+    a, b = _FakePredictor(), _Fake2()
+    app = ServingApp({"unet": a, "dit": b}, max_delay_ms=1.0)
+    app.ready.set()
+    server = make_server(app)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(f"{base}/models") as r:
+            info = json.loads(r.read())
+        assert set(info) == {"unet", "dit"}
+        assert info["unet"]["default"] and not info["dit"]["default"]
+        assert info["dit"]["past_shape"] == [4, 6, 6, 3]
+
+        # Route to the non-default model by name.
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps({
+                "model": "dit",
+                "past": np.zeros((1, 4, 6, 6, 3), np.float32).tolist(),
+            }).encode(),
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        assert body["model"] == "dit"
+        assert np.asarray(body["future"]).shape == (1, 2, 6, 6, 3)
+        assert b.dispatch_sizes and not a.dispatch_sizes
+
+        # Unknown model → 400; per-model metric labels present.
+        badreq = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps({"model": "nope", "past": [[0.0]]}).encode(),
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(badreq)
+        assert exc.value.code == 400
+        with urllib.request.urlopen(f"{base}/metrics") as r:
+            text = r.read().decode()
+        assert 'crowdmod_requests_total{model="dit"} 1' in text
+        assert 'crowdmod_requests_total{model="unet"} 0' in text
+    finally:
+        server.shutdown()
+        app.close()
+
+
 def test_compilation_cache_persists(tmp_path):
     """enable_compilation_cache writes reusable executables to disk."""
     import glob
