@@ -257,13 +257,21 @@ def run(argv=None) -> int:
     # Serve /healthz 503 while buckets compile, then flip ready.
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
+
+    # Graceful termination: stop accepting, drain the queues, exit 0 —
+    # what a rolling deploy sends (SIGTERM) must not drop in-flight work.
+    import signal
+
+    stop = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: stop.set())
+
     app.warmup()
     logging.info("ready: %d model(s), buckets %s compiled",
                  len(app.predictors), tuple(args.batch_buckets))
     try:
-        thread.join()
-    except KeyboardInterrupt:
-        pass
+        stop.wait()
+        logging.info("shutdown signal received; draining")
     finally:
         server.shutdown()
         app.close()

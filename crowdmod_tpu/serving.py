@@ -165,6 +165,11 @@ def load_predictor(
     path = os.path.join(
         cfg.DATA_FS.SAVE_DIR, ckpt.checkpoint_name(cfg, arch, epoch_tag)
     )
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"no checkpoint for {arch} at {path!r} — train it first "
+            f"(crowdmod train --arch {arch}) or pass a different epoch_tag"
+        )
     mesh = None
     if data_parallel:
         from crowdmod_tpu.parallel.mesh import make_mesh

@@ -230,6 +230,14 @@ def test_http_server_end_to_end(trained):
         app.close()
 
 
+def test_load_predictor_missing_checkpoint(workspace):
+    """Missing checkpoint fails fast with the path and a hint, not a deep
+    orbax traceback."""
+    ws = workspace
+    with pytest.raises(FileNotFoundError, match="train it first"):
+        load_predictor(ws["cfg"], "DDPM-UNet", datafiles_yml=ws["list"])
+
+
 def test_multi_model_routing():
     import json
     import threading
