@@ -87,7 +87,17 @@ def _load_one(path: str, use_cmb: bool) -> np.ndarray:
     if use_cmb and os.path.exists(cmb) and (
         os.path.getmtime(cmb) >= os.path.getmtime(path)
     ):
-        return native.read_tensor(cmb)
+        try:
+            return native.read_tensor(cmb)
+        except (IOError, ValueError, AssertionError) as e:
+            # Half-written sidecar (crash mid-write) must not poison loading
+            # forever: drop it and fall through to the pickle, which rewrites
+            # a fresh cache below.
+            logging.warning("corrupt cmb cache %s (%s); rebuilding", cmb, e)
+            try:
+                os.remove(cmb)
+            except OSError:
+                pass
     with open(path, "rb") as f:
         arr = np.asarray(pickle.load(f), np.float32)
     if use_cmb:

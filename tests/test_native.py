@@ -5,6 +5,8 @@ library (the numpy fallbacks are the oracles here; the JAX binning op is a
 second oracle for cm_bin_frames).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -97,3 +99,26 @@ def test_ingest_uses_native_layout(smoke_cfg, tmp_path):
     ref = np.transpose(arr, (0, 4, 2, 3, 1))[..., :3]
     np.testing.assert_array_equal(native, ref)
     assert stats.shape == (3, 4)
+
+
+def test_corrupt_cmb_cache_recovers(tmp_path):
+    """A truncated .cmb sidecar is dropped and rebuilt from the pickle."""
+    import pickle
+
+    from crowdmod_tpu.data.ingest import load_pickle_native
+
+    arr = np.arange(4 * 4 * 3 * 2 * 5, dtype=np.float32).reshape(4, 4, 3, 2, 5)
+    p = tmp_path / "d.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(arr, f)
+    good = load_pickle_native(str(p), mprops_count=4)  # writes the cache
+    cmb = str(p) + ".cmb"
+    assert os.path.exists(cmb)
+    data = open(cmb, "rb").read()
+    with open(cmb, "wb") as f:
+        f.write(data[: len(data) // 2])  # truncate mid-payload
+    os.utime(cmb)  # keep it newer than the pickle
+    again = load_pickle_native(str(p), mprops_count=4)
+    np.testing.assert_array_equal(good, again)
+    # Cache was rebuilt intact.
+    assert open(cmb, "rb").read() == data
