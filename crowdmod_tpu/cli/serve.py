@@ -20,6 +20,7 @@ the TPU dispatch, not HTTP parsing.
 
 from __future__ import annotations
 
+import concurrent.futures
 import json
 import logging
 import threading
@@ -40,7 +41,8 @@ class ServingApp:
     reports per-model labeled series.
     """
 
-    def __init__(self, predictors, *, max_delay_ms: float = 5.0):
+    def __init__(self, predictors, *, max_delay_ms: float = 5.0,
+                 max_queue: int = 4096, request_timeout_s: float = 30.0):
         from crowdmod_tpu.serving import BatchingQueue
 
         if not isinstance(predictors, dict):
@@ -49,8 +51,10 @@ class ServingApp:
             raise ValueError("ServingApp needs at least one predictor")
         self.predictors = dict(predictors)
         self.default_model = next(iter(self.predictors))
+        self.request_timeout_s = request_timeout_s
         self.queues = {
-            name: BatchingQueue(p, max_delay_ms=max_delay_ms)
+            name: BatchingQueue(p, max_delay_ms=max_delay_ms,
+                                max_queue=max_queue)
             for name, p in self.predictors.items()
         }
         self.ready = threading.Event()
@@ -100,7 +104,9 @@ class ServingApp:
         import time
 
         t0 = time.perf_counter()
-        future = self.queues[name].predict(past, key)
+        future = self.queues[name].predict(
+            past, key, timeout=self.request_timeout_s
+        )
         return {
             "future": np.asarray(future).tolist(),
             "model": name,
@@ -195,6 +201,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, json.dumps(result))
         except (KeyError, ValueError, TypeError) as e:
             self._send(400, json.dumps({"error": str(e)}))
+        except concurrent.futures.TimeoutError:
+            # Deadline exceeded while queued/running: the client should
+            # retry with backoff; the dispatch itself may still complete.
+            self._send(504, json.dumps({"error": "request timed out"}))
+        except RuntimeError as e:
+            # Queue full (load shedding) or shutting down.
+            self._send(429 if "full" in str(e) else 503,
+                       json.dumps({"error": str(e)}))
         except Exception as e:  # pragma: no cover
             logging.exception("predict failed")
             self._send(500, json.dumps({"error": str(e)}))
@@ -221,6 +235,10 @@ def run(argv=None) -> int:
     p.add_argument("--batch-buckets", type=int, nargs="+", default=[1, 8, 64])
     p.add_argument("--max-delay-ms", type=float, default=5.0,
                    help="micro-batching window for request coalescing")
+    p.add_argument("--max-queue", type=int, default=4096,
+                   help="pending-request cap; beyond it requests get 429")
+    p.add_argument("--request-timeout-s", type=float, default=30.0,
+                   help="per-request deadline; exceeded requests get 504")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard request batches over all local devices")
     p.add_argument("--compile-cache", type=str, nargs="?", const="",
@@ -251,7 +269,9 @@ def run(argv=None) -> int:
     predictors = {args.arch.lower(): load(args.arch)}
     for arch in args.extra_arch:
         predictors[arch.lower()] = load(arch)
-    app = ServingApp(predictors, max_delay_ms=args.max_delay_ms)
+    app = ServingApp(predictors, max_delay_ms=args.max_delay_ms,
+                     max_queue=args.max_queue,
+                     request_timeout_s=args.request_timeout_s)
     server = make_server(app, args.host, args.port)
     logging.info("listening on %s:%d (warming up)", *server.server_address)
     # Serve /healthz 503 while buckets compile, then flip ready.

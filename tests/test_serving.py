@@ -230,6 +230,46 @@ def test_http_server_end_to_end(trained):
         app.close()
 
 
+def test_http_load_shedding_and_timeout():
+    """Queue overload → 429; per-request deadline exceeded → 504."""
+    import json
+    import threading
+    import urllib.request
+
+    from crowdmod_tpu.cli.serve import ServingApp, make_server
+
+    pred = _FakePredictor()
+    pred.ready_gate = threading.Event()  # never set: dispatcher stalls
+    app = ServingApp(pred, max_delay_ms=1.0, max_queue=1,
+                     request_timeout_s=0.2)
+    app.ready.set()
+    server = make_server(app)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    body = json.dumps(
+        {"past": np.zeros((1, 5, 4, 4, 3), np.float32).tolist()}
+    ).encode()
+    try:
+        # First request: dispatcher picks it up, stalls on the gate, and the
+        # 0.2 s deadline fires → 504.
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(
+                urllib.request.Request(f"{base}/predict", data=body))
+        assert exc.value.code == 504
+
+        # Fill the queue (cap 1) then overflow → 429 load shedding.
+        filler = app.queue.submit(np.zeros((1, 5, 4, 4, 3), np.float32))
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(
+                urllib.request.Request(f"{base}/predict", data=body))
+        assert exc.value.code == 429
+    finally:
+        pred.ready_gate.set()
+        server.shutdown()
+        app.close()
+
+
 def test_load_predictor_missing_checkpoint(workspace):
     """Missing checkpoint fails fast with the path and a hint, not a deep
     orbax traceback."""
