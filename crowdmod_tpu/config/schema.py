@@ -20,7 +20,7 @@ from __future__ import annotations
 import dataclasses
 from collections.abc import Mapping, Sequence
 from dataclasses import dataclass, field
-from typing import Any, Optional, get_args, get_origin
+from typing import Optional, get_args, get_origin
 
 
 def _meta(*, positive=False, choices=None, na_ok=False):
