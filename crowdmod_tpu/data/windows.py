@@ -12,11 +12,26 @@ batch, no host↔device traffic in the epoch loop.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Iterator
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("past_len", "future_len"))
+def _gather_windows(raw, seq_idx, t_idx, *, past_len: int, future_len: int):
+    """One fused device gather for a batch of windows.
+
+    Jitted so an epoch's batch loop issues ONE dispatch per batch instead of
+    several eager ops (matters most when dispatch latency is high, e.g.
+    remote-device tunnels)."""
+    offs = jnp.arange(past_len + future_len)
+    frames = t_idx[:, None] + offs[None, :]  # (B, window)
+    win = raw[seq_idx[:, None], frames]      # (B, window, H, W, C)
+    return win[:, :past_len], win[:, past_len:]
 
 
 def window_indices(
@@ -50,13 +65,10 @@ class WindowDataset:
     def gather(self, idx: np.ndarray):
         """Gather windows for flat window ids ``idx`` → (past, future)."""
         sel = self.indices[np.asarray(idx)]
-        seq_idx = jnp.asarray(sel[:, 0])
-        t_idx = jnp.asarray(sel[:, 1])
-        window = self.past_len + self.future_len
-        offs = jnp.arange(window)
-        frames = t_idx[:, None] + offs[None, :]  # (B, window)
-        win = self.raw[seq_idx[:, None], frames]  # (B, window, H, W, C)
-        return win[:, : self.past_len], win[:, self.past_len :]
+        return _gather_windows(
+            self.raw, jnp.asarray(sel[:, 0]), jnp.asarray(sel[:, 1]),
+            past_len=self.past_len, future_len=self.future_len,
+        )
 
     def epoch_arrays(
         self, batch_size: int, *, shuffle: bool = True, seed: int = 0
