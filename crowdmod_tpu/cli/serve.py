@@ -214,6 +214,24 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(500, json.dumps({"error": str(e)}))
 
 
+def parse_model_buckets(specs: list[str]) -> dict[str, tuple[int, ...]]:
+    """``["ddpm-dit=1,8,64", "convrnn=8"]`` → per-model bucket tuples."""
+    out: dict[str, tuple[int, ...]] = {}
+    for spec in specs:
+        name, _, rest = spec.partition("=")
+        if not name or not rest:
+            raise ValueError(
+                f"--model-buckets entry {spec!r} must look like NAME=B1,B2"
+            )
+        try:
+            out[name.lower()] = tuple(
+                sorted(int(b) for b in rest.split(","))
+            )
+        except ValueError as e:
+            raise ValueError(f"bad bucket list in {spec!r}: {e}") from None
+    return out
+
+
 def make_server(app: ServingApp, host: str = "127.0.0.1",
                 port: int = 0) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` picks a free one."""
@@ -229,6 +247,12 @@ def run(argv=None) -> int:
         help="additional archs to serve from the same config/checkpoint dir; "
              "requests route by their 'model' field (names are the "
              "lower-cased arch)",
+    )
+    p.add_argument(
+        "--model-buckets", type=str, nargs="*", default=[],
+        metavar="NAME=B1,B2,...",
+        help="per-model batch-bucket override, e.g. ddpm-dit=1,8,64 "
+             "convrnn=8 (models not listed use --batch-buckets)",
     )
     p.add_argument("--host", type=str, default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
@@ -256,13 +280,16 @@ def run(argv=None) -> int:
 
     from crowdmod_tpu.serving import load_predictor
 
+    overrides = parse_model_buckets(args.model_buckets)
+
     def load(arch):
+        buckets = overrides.get(arch.lower(), tuple(args.batch_buckets))
         return load_predictor(
             args.config_yml_file, arch,
             datafiles_yml=args.configList_yml_file,
             epoch_tag=args.epoch_tag,
             data_parallel=args.data_parallel,
-            batch_buckets=tuple(args.batch_buckets),
+            batch_buckets=buckets,
             seed=args.seed,
         )
 

@@ -360,3 +360,15 @@ def test_compilation_cache_persists(tmp_path):
     finally:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_parse_model_buckets():
+    from crowdmod_tpu.cli.serve import parse_model_buckets
+
+    out = parse_model_buckets(["DDPM-DiT=64,8,1", "convrnn=8"])
+    assert out == {"ddpm-dit": (1, 8, 64), "convrnn": (8,)}
+    assert parse_model_buckets([]) == {}
+    with pytest.raises(ValueError, match="NAME=B1,B2"):
+        parse_model_buckets(["nonsense"])
+    with pytest.raises(ValueError, match="bad bucket list"):
+        parse_model_buckets(["x=a,b"])
