@@ -5,17 +5,21 @@ scripts).  This wraps :class:`crowdmod_tpu.serving.Predictor` behind a
 threaded stdlib HTTP server with the production endpoints a deployment
 expects:
 
-  * ``POST /predict``  — JSON ``{"past": [[...]], "seed": optional int}`` →
-    ``{"future": [[...]], "latency_ms": float}``.  Concurrent requests are
-    coalesced into single TPU dispatches by the
-    :class:`~crowdmod_tpu.serving.BatchingQueue`.
+  * ``POST /predict``  — JSON ``{"past": [[...]], "seed": optional int,
+    "model": optional name}`` → ``{"future": [[...]], "model": str,
+    "latency_ms": float}``.  Concurrent requests coalesce into single TPU
+    dispatches (:class:`~crowdmod_tpu.serving.BatchingQueue`); bad geometry
+    → 400, queue full → 429 (load shedding), deadline exceeded → 504.
   * ``GET /healthz``   — 200 once warmup has compiled every batch bucket,
     503 before that (readiness probe).
+  * ``GET /models``    — per-model arch / geometry / batch buckets.
   * ``GET /metrics``   — Prometheus text format: request/sample counters,
-    latency sum, queue depth, dispatch/coalesce counters.
+    latency sum, queue depth, dispatch/coalesce counters (model-labeled
+    when serving several models).
 
-Stdlib-only by design: no framework dependency to pin, and the hot path is
-the TPU dispatch, not HTTP parsing.
+SIGTERM/SIGINT drain in-flight requests before exit.  Stdlib-only by
+design: no framework dependency to pin, and the hot path is the TPU
+dispatch, not HTTP parsing.
 """
 
 from __future__ import annotations
