@@ -34,6 +34,10 @@ import numpy as np
 
 from crowdmod_tpu.cli import common_parser, setup_logging
 
+# JSON-encoded pasts are ~8 B/float; the largest sane request (batch 64 of
+# ATC 5×12×36×3 pasts) is ~33 MB, so 64 MB caps abuse without limiting use.
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
 
 class ServingApp:
     """Predictor(s) + batching queue(s) + readiness state.
@@ -200,6 +204,12 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             length = int(self.headers.get("Content-Length", 0))
+            if length > MAX_BODY_BYTES:
+                self._send(413, json.dumps({
+                    "error": f"request body {length} B exceeds "
+                             f"{MAX_BODY_BYTES} B cap"
+                }))
+                return
             payload = json.loads(self.rfile.read(length))
             result = self.app.handle_predict(payload)
             self._send(200, json.dumps(result))
@@ -258,7 +268,11 @@ def run(argv=None) -> int:
         help="per-model batch-bucket override, e.g. ddpm-dit=1,8,64 "
              "convrnn=8 (models not listed use --batch-buckets)",
     )
-    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument(
+        "--host", type=str, default="127.0.0.1",
+        help="bind address; the server has no auth, so exposing beyond "
+             "localhost (e.g. 0.0.0.0) must be an explicit choice",
+    )
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-buckets", type=int, nargs="+", default=[1, 8, 64])
     p.add_argument("--max-delay-ms", type=float, default=5.0,

@@ -33,8 +33,8 @@ import jax
 _SENTINEL = object()
 
 
-def device_prefetch(batches: Iterable, *, depth: int = 2, sharding=None,
-                    donate_hint: bool = False) -> Iterator:
+def device_prefetch(batches: Iterable, *, depth: int = 2,
+                    sharding=None) -> Iterator:
     """Yield device-resident batches, transferring ``depth`` ahead.
 
     ``batches`` yields host-side pytrees (numpy arrays / tuples).  A daemon
@@ -104,7 +104,7 @@ class FileWindowStream:
 
     def __init__(self, files: Sequence[str], *, past_len: int,
                  future_len: int, stride: int, mprops_count: int = 3,
-                 sharding=None):
+                 sharding=None, velocity_norm: bool = False, stats=None):
         if not files:
             raise ValueError("FileWindowStream needs at least one file")
         self.files = list(files)
@@ -113,6 +113,38 @@ class FileWindowStream:
         self.stride = stride
         self.mprops_count = mprops_count
         self.sharding = sharding
+        self.velocity_norm = velocity_norm
+        self.stats = stats
+
+    # ------------------------------------------------------------------
+    def compute_stats(self) -> np.ndarray:
+        """Exact global per-channel ``(mean, std, min, max)`` in one stream.
+
+        Matches :func:`~crowdmod_tpu.data.ingest.channel_stats` over the
+        concatenated corpus (the resident path's statistics) without ever
+        holding more than one file: min/max combine exactly across files and
+        mean/std come from streamed count/sum/sum-of-squares moments.
+        """
+        count = 0
+        s = s2 = None
+        lo = hi = None
+        for path in self.files:
+            arr = self._load_host(path).astype(np.float64)
+            ax = tuple(range(arr.ndim - 1))
+            if s is None:
+                c = arr.shape[-1]
+                s = np.zeros(c)
+                s2 = np.zeros(c)
+                lo = np.full(c, np.inf)
+                hi = np.full(c, -np.inf)
+            count += int(np.prod(arr.shape[:-1]))
+            s += arr.sum(axis=ax)
+            s2 += (arr * arr).sum(axis=ax)
+            lo = np.minimum(lo, arr.min(axis=ax))
+            hi = np.maximum(hi, arr.max(axis=ax))
+        mean = s / count
+        std = np.sqrt(np.maximum(s2 / count - mean * mean, 0.0))
+        return np.stack([mean, std, lo, hi], axis=1)
 
     # ------------------------------------------------------------------
     def _load_host(self, path: str) -> np.ndarray:
@@ -156,7 +188,15 @@ class FileWindowStream:
 
         import jax.numpy as jnp
 
+        if self.velocity_norm and self.stats is None:
+            # One extra pass over the corpus; cache so later epochs reuse it.
+            self.stats = self.compute_stats()
+
         for file_i, host_arr in enumerate(self._files_ahead()):
+            if self.velocity_norm:
+                from crowdmod_tpu.data.ingest import normalize_velocity
+
+                host_arr = normalize_velocity(host_arr, self.stats)
             ds = WindowDataset(
                 jnp.asarray(host_arr), past_len=self.past_len,
                 future_len=self.future_len, stride=self.stride,

@@ -242,8 +242,27 @@ class BatchingQueue:
         return req.future
 
     def predict(self, past, key=None, timeout: float | None = None):
-        """Blocking convenience wrapper around :meth:`submit`."""
-        return self.submit(past, key).result(timeout)
+        """Blocking convenience wrapper around :meth:`submit`.
+
+        A request that exceeds ``timeout`` is cancelled and removed from the
+        queue, so a shed (504'd) client actually frees its queue slot instead
+        of still being dispatched to the TPU later.
+        """
+        fut = self.submit(past, key)
+        try:
+            return fut.result(timeout)
+        except TimeoutError:
+            self.cancel(fut)
+            raise
+
+    def cancel(self, future: Future) -> bool:
+        """Best-effort cancel: drop the request if it hasn't dispatched yet."""
+        with self._cv:
+            for i, req in enumerate(self._pending):
+                if req.future is future:
+                    del self._pending[i]
+                    break
+        return future.cancel()
 
     @property
     def depth(self) -> int:
@@ -298,6 +317,11 @@ class BatchingQueue:
             batch = self._take_batch()
             if not batch:
                 return  # closed and drained
+            # Claim each future; ones cancelled by a timed-out caller drop
+            # out here and never reach the device.
+            batch = [r for r in batch if r.future.set_running_or_notify_cancel()]
+            if not batch:
+                continue
             try:
                 if len(batch) == 1:
                     out = self.predictor.predict(batch[0].past, batch[0].key)

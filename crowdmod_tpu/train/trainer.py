@@ -342,10 +342,13 @@ class Trainer:
                 tracker.finish()
         if completed:
             # Run finished: its crash-recovery point is obsolete and only
-            # the newest `keep` late-epoch checkpoints are retained.
+            # the newest `keep` late-epoch checkpoints are retained.  When
+            # this run saved no late checkpoints (keep == 0), skip the
+            # retention sweep entirely — keep_epochs=0 would delete numbered
+            # checkpoints left by EARLIER runs of the same (cfg, arch).
             ckpt.gc_checkpoints(
                 save_dir, self.cfg, self.arch,
-                keep_epochs=keep, remove_abort=True,
+                keep_epochs=keep if keep else None, remove_abort=True,
             )
         return history
 

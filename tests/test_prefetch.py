@@ -104,6 +104,53 @@ def test_file_window_stream_matches_resident_dataset(tmp_path):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(ef))
 
 
+def test_file_window_stream_velocity_norm_matches_resident(tmp_path):
+    """Streaming VELOCITY_NORM == resident global-stats normalization.
+
+    Guards the advisor finding that the stream silently skipped
+    normalize_velocity: stats must be GLOBAL (whole corpus), not per-file.
+    """
+    from crowdmod_tpu.data.ingest import channel_stats, normalize_velocity
+
+    h, w, L, n = 4, 6, 12, 3
+    rng = np.random.default_rng(7)
+    paths, natives = [], []
+    for k in range(2):
+        # Distinct velocity ranges per file so per-file stats would diverge.
+        arr = (rng.normal(size=(n, 4, h, w, L)) * (k + 1)).astype(np.float32)
+        p = tmp_path / f"f{k}.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(arr, f)
+        paths.append(str(p))
+        natives.append(np.ascontiguousarray(
+            np.transpose(arr, (0, 4, 2, 3, 1))[..., :3]
+        ))
+
+    stream = FileWindowStream(
+        paths, past_len=5, future_len=3, stride=4, mprops_count=3,
+        velocity_norm=True,
+    )
+    got = list(stream.batches(batch_size=2, shuffle=False))
+
+    corpus = np.concatenate(natives, axis=0)
+    stats = channel_stats(corpus)
+    np.testing.assert_allclose(stream.stats[:, 2:], stats[:, 2:], rtol=1e-6)
+
+    from crowdmod_tpu.data.windows import WindowDataset
+
+    expected = []
+    for native in natives:
+        ds = WindowDataset(jnp.asarray(normalize_velocity(native, stats)),
+                           past_len=5, future_len=3, stride=4)
+        order = np.arange(len(ds))
+        for b in range(len(order) // 2):
+            expected.append(ds.gather(order[b * 2:(b + 1) * 2]))
+    assert len(got) == len(expected)
+    for (gp, gf), (ep, ef) in zip(got, expected):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(ep), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(ef), rtol=1e-6)
+
+
 def test_stream_feeds_sharded_train_step(tmp_path, smoke_cfg):
     """FileWindowStream → device_prefetch(sharded) → mesh Trainer step."""
     from jax.sharding import NamedSharding, PartitionSpec as P

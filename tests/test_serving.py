@@ -270,6 +270,37 @@ def test_http_load_shedding_and_timeout():
         app.close()
 
 
+def test_timed_out_request_frees_queue_slot():
+    """A request that exceeds its deadline is cancelled: it leaves the
+    queue (so shed load frees capacity) and is never dispatched."""
+    import threading
+    import time
+
+    from crowdmod_tpu.serving import BatchingQueue
+
+    pred = _FakePredictor()
+    pred.ready_gate = threading.Event()  # stall the dispatcher on request 1
+    q = BatchingQueue(pred, max_delay_ms=1.0, max_queue=2)
+    try:
+        # Keyed head request dispatches solo and stalls inside predict().
+        head = q.submit(np.zeros((1, 5, 4, 4, 3), np.float32), key=0)
+        deadline = time.time() + 5.0
+        while q.depth > 0 and time.time() < deadline:
+            time.sleep(0.01)  # wait for the dispatcher to pop it
+        # Second request waits in the queue; it must time out AND vacate.
+        with pytest.raises(TimeoutError):
+            q.predict(np.zeros((1, 5, 4, 4, 3), np.float32), timeout=0.1)
+        assert q.depth == 0, "timed-out request still occupies the queue"
+        pred.ready_gate.set()
+        head.result(5.0)
+        time.sleep(0.2)  # let the dispatcher drain
+        # Only the head request ever reached the device.
+        assert pred.dispatch_sizes == [1]
+    finally:
+        pred.ready_gate.set()
+        q.close()
+
+
 def test_load_predictor_missing_checkpoint(workspace):
     """Missing checkpoint fails fast with the path and a hint, not a deep
     orbax traceback."""
