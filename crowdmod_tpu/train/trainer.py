@@ -233,18 +233,20 @@ class Trainer:
         key = jax.random.PRNGKey(self.seed)
 
         # Whole-epoch lax.scan removes per-batch dispatch latency — the
-        # dominant cost for these small models on TPU.  The per-batch loop is
-        # kept for meshes (stacked-batch sharding lands axis 1) and as the
-        # CPU/test default.
+        # dominant cost for these small models on TPU.  Under a mesh the
+        # stacked (n_batches, B, ...) epoch tensor is DP-sharded on axis 1,
+        # so each scan step consumes an already-sharded batch (axis 0 after
+        # the slice) — multi-chip training keeps the single-dispatch epoch.
         if scan_epoch is None:
-            scan_epoch = (
-                self.mesh is None and jax.default_backend() == "tpu"
-            )
-        scan_epoch = scan_epoch and self.mesh is None
+            scan_epoch = jax.default_backend() == "tpu"
         epoch_step = (
             make_epoch_step(self._loss_fn(), donate=True) if scan_epoch
             else None
         )
+        if scan_epoch and self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            epoch_sharding = NamedSharding(self.mesh, P(None, "data"))
 
         save_dir = cfg.DATA_FS.SAVE_DIR
         keep = cfg.get_path(f"MODEL.{self.family.upper()}.CHECKPOINTS_TO_KEEP", 0)
@@ -265,6 +267,8 @@ class Trainer:
                     stacked = train_ds.epoch_arrays(
                         batch_size, shuffle=True, seed=self.seed + epoch
                     )
+                    if self.mesh is not None:
+                        stacked = jax.device_put(stacked, epoch_sharding)
                     key, sub = jax.random.split(key)
                     self.state, losses = epoch_step(self.state, stacked, sub)
                     epoch_loss = float(jnp.mean(losses))

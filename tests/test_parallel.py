@@ -134,3 +134,67 @@ def test_tp_dit_train_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(state1.params),
                     jax.tree.leaves(state2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_epoch_scan_dp_matches_per_batch(tmp_path):
+    """Whole-epoch lax.scan under a DP mesh (stacked batches sharded on
+    axis 1) produces the same losses/params as the per-batch sharded path
+    (VERDICT round-1 item 4)."""
+    from crowdmod_tpu.train.state import make_epoch_step
+
+    model = UNet3D(
+        out_channels=C, base_channels=8, base_channels_multiples=(1, 2),
+        apply_attention=(False, False), dropout_rate=0.0,
+    )
+    n_batches, batch = 3, 8
+    data = jnp.asarray(synthetic_walkers(n_batches * batch, H, W, Pst + F))
+    past, future = data[:, :Pst], data[:, Pst:]
+    params = model.init(
+        jax.random.PRNGKey(0), future[:batch], jnp.zeros((batch,)),
+        past[:batch],
+    )
+    sched = linear_schedule(50)
+
+    def loss_fn(p, b, key):
+        past_b, future_b = b
+        return ddpm_loss(
+            lambda x, t, c: model.apply(p, x, t, c), sched, future_b, past_b,
+            key,
+        )
+
+    # SGD, not Adam: Adam's g/sqrt(v) amplifies float32 summation-order
+    # differences between the scanned and per-batch compilations into
+    # ±lr-sized param flips, which would test optimizer noise, not sharding.
+    import optax
+
+    tx = optax.sgd(1e-3)
+    key = jax.random.PRNGKey(9)
+    stack = lambda a: a.reshape((n_batches, batch) + a.shape[1:])
+    mesh = make_mesh()
+
+    # Per-batch sharded path.
+    state1 = TrainState.create(replicate(params, mesh), tx)
+    step = make_train_step(loss_fn, donate=False)
+    keys = jax.random.split(key, n_batches)
+    losses1 = []
+    for i in range(n_batches):
+        b = shard_batch(
+            (past[i * batch:(i + 1) * batch],
+             future[i * batch:(i + 1) * batch]), mesh,
+        )
+        state1, loss = step(state1, b, keys[i])
+        losses1.append(float(loss))
+
+    # Whole-epoch scan with axis-1 DP sharding, as Trainer.fit now does.
+    from jax.sharding import NamedSharding
+
+    epoch_sharding = NamedSharding(mesh, P(None, "data"))
+    stacked = jax.device_put((stack(past), stack(future)), epoch_sharding)
+    state2 = TrainState.create(replicate(params, mesh), tx)
+    epoch_step = make_epoch_step(loss_fn, donate=False)
+    state2, losses2 = epoch_step(state2, stacked, key)
+
+    np.testing.assert_allclose(losses1, np.asarray(losses2), rtol=5e-5)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
