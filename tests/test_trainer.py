@@ -314,3 +314,60 @@ def test_async_checkpoint_roundtrip(tmp_path):
         np.asarray(restored["params"]["w"]), np.arange(12.0).reshape(3, 4)
     )
     assert int(restored["step"]) == 7
+
+
+def test_generate_metrics_ragged_batches_fixed_shape(smoke_cfg, tmp_path):
+    """Ragged final test batches must not change the sampler's compiled
+    shape: full batches are dropped (reference DataLoader drop_last), and a
+    smaller-than-batch dataset is upsampled to the fixed samples_per_batch
+    (VERDICT round-1 item 7)."""
+    cfg = tiny_cfg(smoke_cfg, tmp_path).updated({"DATASET": {"BATCH_SIZE": 2}})
+    # 10 windows; samples_per_batch = 2*2 = 4 → 2 full batches + ragged 2.
+    ds = walker_ds(cfg, n=5)
+    assert len(ds) == 10 and len(ds) % 4 != 0
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "runr")).setup()
+    shapes = []
+    orig_sample = tr.sample
+
+    def spy(past, key, **kw):
+        shapes.append(past.shape)
+        return orig_sample(past, key, **kw)
+
+    tr.sample = spy
+    tr.generate_metrics(ds, metric="PSNR", chunk=2, batches_to_use=99,
+                        output_dir=str(tmp_path / "m1"))
+    assert shapes and all(s == (4, 5, 8, 12, 3) for s in shapes), shapes
+    assert len(shapes) == 2  # ragged remainder dropped
+
+    # Tiny dataset (< one batch): the partial batch is upsampled to the
+    # same fixed shape via wrap-around repeats.
+    ds_small = walker_ds(cfg, n=1)  # 2 windows < 4
+    shapes.clear()
+    tr2 = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "runr2")).setup()
+    orig2 = tr2.sample
+    tr2.sample = lambda past, key, **kw: (
+        shapes.append(past.shape) or orig2(past, key, **kw)
+    )
+    tr2.generate_metrics(ds_small, metric="PSNR", chunk=2, batches_to_use=1,
+                         output_dir=str(tmp_path / "m2"))
+    assert shapes == [(4, 5, 8, 12, 3)], shapes
+
+
+def test_evaluate_drops_ragged_remainder(smoke_cfg, tmp_path):
+    """evaluate() keeps a single compiled shape: full batches only (or the
+    one partial batch when the dataset is smaller than a batch)."""
+    cfg = tiny_cfg(smoke_cfg, tmp_path).updated({"DATASET": {"BATCH_SIZE": 4}})
+    ds = walker_ds(cfg, n=5)  # 10 windows → 2 full batches + ragged 2
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "rune")).setup()
+    seen = []
+    loss = tr._loss_fn()
+    tr._eval_loss = lambda p, batch, k: (
+        seen.append(batch[0].shape) or jnp.asarray(0.5)
+    )
+    val = tr.evaluate(ds)
+    assert np.isfinite(val)
+    assert seen and all(s[0] == 4 for s in seen) and len(seen) == 2
+
+    seen.clear()
+    val = tr.evaluate(walker_ds(cfg, n=1))  # 2 windows < batch 4
+    assert seen == [(2, 5, 8, 12, 3)]

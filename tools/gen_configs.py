@@ -70,6 +70,111 @@ DATASETS = {
 }
 
 # ---------------------------------------------------------------------------
+# Bundled datafile lists (reference config/*_datafiles.yml role): filenames
+# and raw sample counts are metadata of the public ATC/HERMES/ETH-UCY
+# corpora as distributed with the reference.  When the pickles are present
+# locally, regenerate counts with ``crowdmod_tpu.data.etl.count_samples``.
+# ---------------------------------------------------------------------------
+_ATC_DAYS = [
+    ("20121028", 5055), ("20121104", 5035), ("20121111", 4842),
+    ("20121118", 4910), ("20121125", 4979), ("20121202", 4798),
+    ("20121216", 5087), ("20121223", 4996), ("20130106", 4805),
+    ("20130113", 4850), ("20130120", 4908), ("20130203", 4822),
+    ("20130210", 4894), ("20130217", 4887), ("20130224", 4935),
+    ("20130303", 4395), ("20130310", 4964), ("20130317", 4852),
+    ("20130324", 5170), ("20130331", 4959), ("20130407", 4851),
+    ("20130414", 4953), ("20130421", 5103), ("20130428", 5000),
+    ("20130505", 4962), ("20130512", 4767), ("20130519", 5040),
+    ("20130526", 5123), ("20130602", 5005), ("20130630", 5088),
+    ("20130707", 4804), ("20130714", 5057), ("20130721", 4676),
+    ("20130728", 4622), ("20130811", 4977), ("20130818", 4860),
+    ("20130825", 5361), ("20130901", 4969), ("20130915", 4923),
+    ("20130922", 4851), ("20130929", 4745),
+]
+
+_HERMES_BO = [
+    ("bo-360-050-050", 461), ("bo-360-075-075", 548), ("bo-360-090-090", 507),
+    ("bo-360-120-120", 641), ("bo-360-160-160", 634), ("boa-300-050-070", 527),
+    ("boa-300-050-085", 490), ("boa-300-055-095", 402),
+    ("boa-300-065-105", 704), ("boa-300-080-120", 569),
+    ("bot-300-050-050", 530), ("bot-300-065-065", 501),
+    ("bot-300-075-075", 478), ("bot-300-085-085", 558),
+    ("bot-300-100-100", 531), ("bot-360-050-050", 540),
+    ("bot-360-075-075", 412), ("bot-360-090-090", 516),
+    ("bot-360-120-120", 647), ("bot-360-160-160", 625),
+    ("bot-360-200-200", 601), ("bot-360-250-250", 586),
+]
+
+_HERMES_BN = [
+    ("ao-240-400", 533), ("ao-300-400", 464), ("ao-360-400", 389),
+    ("ao-440-400", 345), ("ao-500-400", 286),
+]
+
+_CR_90 = [
+    ("crossing_90_a_01", 2084), ("crossing_90_a_02", 1635),
+    ("crossing_90_a_03", 1118), ("crossing_90_a_04", 1298),
+    ("crossing_90_a_05", 1083), ("crossing_90_a_06", 580),
+    ("crossing_90_a_07", 1232), ("crossing_90_a_08", 885),
+    ("crossing_90_a_09", 1434), ("crossing_90_a_10", 1161),
+    ("crossing_90_b_02", 2580), ("crossing_90_b_03", 1449),
+    ("crossing_90_b_04", 1337), ("crossing_90_b_05", 1185),
+    ("crossing_90_b_06", 1220), ("crossing_90_b_07", 1188),
+]
+
+_CR_90_OBST = [
+    ("crossing_90_c_01", 2537), ("crossing_90_c_02", 1334),
+    ("crossing_90_c_03", 1109), ("crossing_90_c_04", 1245),
+    ("crossing_90_c_05", 1460), ("crossing_90_c_06", 1324),
+    ("crossing_90_c_07", 1174), ("crossing_90_c_08", 1106),
+]
+
+_CR_120 = [
+    ("crossing_120_a_01", 1121), ("crossing_120_a_02", 1237),
+    ("crossing_120_a_03", 2288), ("crossing_120_a_04", 7239),
+    ("crossing_120_a_05", 14182), ("crossing_120_a_06", 14305),
+    ("crossing_120_a_07", 17267), ("crossing_120_b_01", 16786),
+    ("crossing_120_b_02", 13978),
+]
+
+_CR_120_OBST = [
+    ("crossing_120_c_01", 1291), ("crossing_120_c_02", 3172),
+    ("crossing_120_c_03", 7740), ("crossing_120_c_04", 13102),
+    ("crossing_120_c_05", 15289), ("crossing_120_c_06", 20049),
+    ("crossing_120_c_07", 17620),
+]
+
+
+def _with_aug(entries):
+    """HERMES BO/BN ship each file plus its _aug twin (same count)."""
+    return entries + [(f"{name}_aug", n) for name, n in entries]
+
+
+DATA_LISTS = {
+    "ATC": [(f"atc-{d}", n) for d, n in _ATC_DAYS],
+    "HERMES-BO": _with_aug(_HERMES_BO),
+    "HERMES-BN": _with_aug(_HERMES_BN),
+    "HERMES-CR-90": _CR_90,
+    "HERMES-CR-90-OBST": _CR_90_OBST,
+    "HERMES-CR-120": _CR_120,
+    "HERMES-CR-120-OBST": _CR_120_OBST,
+    # ETH-UCY ships as bare csv names (reference ETHUCY_ddpm_DSlist.yml);
+    # counts are computed at load time.
+    "ETHUCY": [
+        "biwi_hotel.csv", "crowds_zara01.csv", "crowds_zara02.csv",
+        "crowds_zara03.csv", "students001.csv", "students003.csv",
+        "uni_examples.csv",
+    ],
+}
+
+
+def datafiles_tree(name: str) -> dict:
+    entries = DATA_LISTS[name]
+    if isinstance(entries[0], str):
+        return {"DATA_LIST": list(entries)}
+    return {"DATA_LIST": [[f"{f}.pkl", n] for f, n in entries]}
+
+
+# ---------------------------------------------------------------------------
 # Shared model hyperparameters (canonical ATC values).
 # ---------------------------------------------------------------------------
 
@@ -230,6 +335,15 @@ def main():
     for name, geo in DATASETS.items():
         fname = geo.get("filename", name)
         write(OUT / f"{fname}.yml", dataset_cfg(name, geo))
+        list_name = "ETHUCY" if fname == "ETHUCY" else name
+        if list_name in DATA_LISTS:
+            write(OUT / f"{fname}_datafiles.yml", datafiles_tree(list_name))
+
+    # 4test fixture list (reference config/4test/ATC_datafiles.yml role).
+    write(OUT / "4test" / "ATC_datafiles.yml", {
+        "DATA_LIST": [[f"macroprops30minData4UT-{i}.pkl", 51]
+                      for i in range(1, 7)],
+    })
 
     # Miniature smoke config (reference config/4test/ATC.yml semantics):
     # tiny file split, short epochs, ATC4TEST name.
