@@ -150,20 +150,115 @@ def trial_overrides(arch: str, trial: dict) -> dict:
     return overrides
 
 
+def wandb_sweep_configuration(arch: str) -> dict:
+    """W&B-shaped sweep config (reference utils.py:208-268): the same
+    search space as :func:`sweep_space` plus the agent metadata keys."""
+    space = sweep_space(arch)
+    return {
+        "name": space["name"],
+        "method": "random",
+        "metric": {"goal": "minimize", "name": space["metric"]},
+        "parameters": space["parameters"],
+    }
+
+
 def build_parser():
     p = common_parser("Random-search hyperparameter sweep.")
     p.add_argument("--trials", type=int, default=10)
     p.add_argument("--epochs-per-trial", type=int, default=None,
                    help="Cap epochs per trial (default: sampled value).")
     p.add_argument("--sweep-dir", type=str, default=None)
+    p.add_argument("--wandb", action="store_true",
+                   help="drive trials through wandb.sweep/wandb.agent "
+                        "(reference train_sweep.py:159-167) instead of the "
+                        "local random search; requires the wandb package")
+    p.add_argument("--wandb-project", type=str,
+                   default="macroprops-predict-4D")
     return p
+
+
+def run_trial(base_cfg, arch: str, trial: dict, i: int, sweep_dir: str,
+              seed: int, epochs_cap: int | None, results_path: str,
+              on_epoch=None) -> dict:
+    """Train one sweep point and append its record to the results file."""
+    from crowdmod_tpu.data.ingest import get_training_dataset
+    from crowdmod_tpu.train.trainer import Trainer
+
+    cfg = base_cfg.updated(trial_overrides(arch, trial))
+    epochs = epochs_cap or trial.get("epochs")
+    logging.info("trial %d: %s", i, trial)
+    t0 = time.time()
+    trainer = Trainer(
+        cfg, arch, seed=seed + i,
+        run_dir=os.path.join(sweep_dir, f"trial_{i:03d}"),
+    )
+    train_ds, val_ds = get_training_dataset(cfg, trainer.mprops_count,
+                                            seed=seed)
+    try:
+        history = trainer.fit(train_ds, val_ds, epochs=epochs)
+        final = (history["train_loss"][-1] if history["train_loss"]
+                 else float("nan"))
+    except Exception:  # a diverging trial must not kill the sweep
+        logging.exception("trial %d failed", i)
+        final = float("nan")
+        history = {"train_loss": [], "val_loss": []}
+    if on_epoch is not None:
+        for ep_loss in history["train_loss"]:
+            on_epoch({"train_loss": ep_loss})
+    record = {
+        "trial": i,
+        "params": trial,
+        "train_loss": final,
+        "val_loss": history["val_loss"][-1] if history["val_loss"] else None,
+        "wall_s": time.time() - t0,
+    }
+    with open(results_path, "a") as f:
+        f.write(json.dumps(record) + "\n")
+    return record
+
+
+def run_wandb_agent(args, base_cfg, sweep_dir: str, results_path: str) -> int:
+    """Agent-driven sweep: W&B samples the points, we train them.
+
+    Mirrors the reference's ``wandb.sweep`` + ``wandb.agent`` flow
+    (train_sweep.py:159-167) on top of the same Trainer path as the local
+    search.  Kept separate from the default path because zero-egress pods
+    cannot reach W&B at all.
+    """
+    try:
+        import wandb
+    except ImportError as e:
+        raise SystemExit(
+            "--wandb requires the wandb package; use the default local "
+            "random search on offline machines"
+        ) from e
+
+    sweep_id = wandb.sweep(
+        sweep=wandb_sweep_configuration(args.arch), project=args.wandb_project
+    )
+    counter = {"i": 0}
+
+    def one_trial():
+        run = wandb.init()
+        trial = dict(run.config) if run is not None else dict(wandb.config)
+        i = counter["i"]
+        counter["i"] += 1
+        record = run_trial(
+            base_cfg, args.arch, trial, i, sweep_dir, args.seed,
+            args.epochs_per_trial, results_path, on_epoch=wandb.log,
+        )
+        wandb.log({"train_loss": record["train_loss"]})
+        wandb.finish()
+
+    wandb.agent(sweep_id, function=one_trial, count=args.trials)
+    logging.info("wandb sweep %s finished after %d trials",
+                 sweep_id, counter["i"])
+    return 0
 
 
 def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from crowdmod_tpu.config import load_config
-    from crowdmod_tpu.data.ingest import get_training_dataset
-    from crowdmod_tpu.train.trainer import Trainer
 
     base_cfg = load_config(args.config_yml_file, args.configList_yml_file)
     sweep_dir = args.sweep_dir or os.path.join(
@@ -171,41 +266,22 @@ def run(argv=None) -> int:
     )
     os.makedirs(sweep_dir, exist_ok=True)
     setup_logging(os.path.join(sweep_dir, "sweep.log"))
+    results_path = os.path.join(sweep_dir, "sweep_results.jsonl")
+
+    if args.wandb:
+        return run_wandb_agent(args, base_cfg, sweep_dir, results_path)
 
     space = sweep_space(args.arch)
     rng = np.random.default_rng(args.seed)
-    results_path = os.path.join(sweep_dir, "sweep_results.jsonl")
     best = {"loss": float("inf"), "trial": None}
 
     for i in range(args.trials):
         trial = sample_trial(space, rng)
-        cfg = base_cfg.updated(trial_overrides(args.arch, trial))
-        epochs = args.epochs_per_trial or trial.get("epochs")
-        logging.info("trial %d/%d: %s", i + 1, args.trials, trial)
-        t0 = time.time()
-        trainer = Trainer(
-            cfg, args.arch, seed=args.seed + i,
-            run_dir=os.path.join(sweep_dir, f"trial_{i:03d}"),
+        record = run_trial(
+            base_cfg, args.arch, trial, i, sweep_dir, args.seed,
+            args.epochs_per_trial, results_path,
         )
-        train_ds, val_ds = get_training_dataset(
-            cfg, trainer.mprops_count, seed=args.seed
-        )
-        try:
-            history = trainer.fit(train_ds, val_ds, epochs=epochs)
-            final = history["train_loss"][-1] if history["train_loss"] else float("nan")
-        except Exception as e:  # a diverging trial must not kill the sweep
-            logging.exception("trial %d failed", i)
-            final = float("nan")
-            history = {"train_loss": [], "val_loss": []}
-        record = {
-            "trial": i,
-            "params": trial,
-            "train_loss": final,
-            "val_loss": history["val_loss"][-1] if history["val_loss"] else None,
-            "wall_s": time.time() - t0,
-        }
-        with open(results_path, "a") as f:
-            f.write(json.dumps(record) + "\n")
+        final = record["train_loss"]
         if np.isfinite(final) and final < best["loss"]:
             best = {"loss": final, "trial": i, "params": trial}
 

@@ -230,6 +230,12 @@ class Trainer:
         epochs = epochs or self.total_epochs
         cfg = self.cfg
         batch_size = cfg.DATASET.BATCH_SIZE
+        if len(train_ds) < batch_size:
+            raise ValueError(
+                f"training dataset yields no full batches: {len(train_ds)} "
+                f"windows < DATASET.BATCH_SIZE={batch_size}; lower the batch "
+                "size or provide more data"
+            )
         key = jax.random.PRNGKey(self.seed)
 
         # Whole-epoch lax.scan removes per-batch dispatch latency — the

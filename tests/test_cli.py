@@ -124,3 +124,62 @@ def test_cli_dispatch_params_and_compare(workspace, capsys, tmp_path):
                    "--output-dir", str(tmp_path / "cmp")])
     assert rc == 0
     assert os.path.exists(tmp_path / "cmp" / "summary.csv")
+
+
+def test_cli_sweep_wandb_agent(workspace, monkeypatch):
+    """--wandb drives trials through wandb.sweep/wandb.agent (reference
+    train_sweep.py:159-167).  W&B itself is unreachable here, so a faithful
+    agent stub samples the sweep configuration and invokes the trial fn."""
+    import sys
+    import types
+
+    import numpy as np
+
+    ws = workspace
+    logged = []
+
+    fake = types.ModuleType("wandb")
+    fake._sweep_cfg = None
+
+    def _sweep(sweep, project=None):
+        fake._sweep_cfg = sweep
+        assert sweep["method"] == "random"
+        assert sweep["metric"] == {"goal": "minimize", "name": "train_loss"}
+        return "sweep-123"
+
+    class _Run:
+        def __init__(self, config):
+            self.config = config
+
+    def _agent(sweep_id, function, count=1):
+        assert sweep_id == "sweep-123"
+        rng = np.random.default_rng(0)
+        from crowdmod_tpu.cli.sweep import sample_trial
+        for _ in range(count):
+            trial = sample_trial(
+                {"parameters": fake._sweep_cfg["parameters"]}, rng
+            )
+            # The workspace fixture's tiny grid needs a tiny UNet.
+            trial.update(base_ch=8, batch_size=4)
+            fake._current = trial
+            function()
+
+    fake.sweep = _sweep
+    fake.agent = _agent
+    fake.init = lambda *a, **k: _Run(dict(fake._current))
+    fake.log = lambda d: logged.append(d)
+    fake.finish = lambda: None
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    rc = sweep.run(
+        _common(ws) + ["--arch", "DDPM-UNet", "--trials", "2",
+                       "--epochs-per-trial", "1", "--wandb",
+                       "--sweep-dir", str(ws["tmp"] / "wsweep")]
+    )
+    assert rc == 0
+    results = [
+        json.loads(l)
+        for l in open(ws["tmp"] / "wsweep" / "sweep_results.jsonl")
+    ]
+    assert len(results) == 2
+    assert any("train_loss" in d for d in logged)
