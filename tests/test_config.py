@@ -45,6 +45,9 @@ def test_get_path(atc_cfg):
 def test_all_bundled_configs_parse():
     for yml in config_dir().rglob("*.yml"):
         cfg = load_config(yml)
+        if yml.name.endswith("_datafiles.yml"):
+            assert len(cfg.DATA_LIST) > 0
+            continue
         assert cfg.MACROPROPS.ROWS > 0
         assert cfg.DATASET.PAST_LEN == 5
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import argparse
 import os as _os
-_os.environ.setdefault('CROWDMOD_GELU', 'tanh')  # match bench.py's speed config
+# tanh GELU is the TPU default since round 2 (dit.py::_gelu_exact)
 import json
 import os
 import sys
