@@ -64,16 +64,30 @@ def main():
     def sample(past, key):
         return ddpm_sample(denoise, sched, past, key, (b, f, h, w, c))
 
-    # Warmup / compile.
+    # Warmup / compile (readback forces real completion through remote
+    # tunnels where block_until_ready can resolve early).
     out = sample(past, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
+    _ = float(jnp.ravel(out)[0])
+
+    # Dispatch+readback round trip, subtracted from each rep: on tunneled
+    # TPU backends it is ~30-130 ms, a real bias at ~1 s/chain.
+    triv = jax.jit(lambda x: x + 1.0)
+    y = triv(jnp.zeros((8,)))
+    _ = float(y[0])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        y = triv(y)
+        _ = float(y[0])
+    rt = (time.perf_counter() - t0) / 5
 
     reps = 3
-    start = time.perf_counter()
+    times = []
     for i in range(reps):
+        start = time.perf_counter()
         out = sample(past, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(out)
-    elapsed = (time.perf_counter() - start) / reps
+        _ = float(jnp.ravel(out)[0])
+        times.append(time.perf_counter() - start - rt)
+    elapsed = min(times)
 
     steps_per_sec = b * timesteps / elapsed
     print(

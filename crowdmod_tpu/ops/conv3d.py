@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-IMPLS = ("direct", "split_t", "fold_t")
+IMPLS = ("direct", "split_t", "fold_t", "pallas")
 
 
 def default_impl() -> str:
@@ -43,6 +43,14 @@ def conv3d_same(x: jnp.ndarray, kernel: jnp.ndarray, impl: str) -> jnp.ndarray:
             x, kernel, (1, 1, 1), "SAME",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         )
+
+    if impl == "pallas":
+        # Weight-resident im2col GEMM (ops/pallas/conv3d.py): K = 27·Cin
+        # fills the MXU's systolic depth that the native conv leaves 3/4
+        # idle at Cin = 32.  Forward-only (no VJP) — sampler hot path.
+        from crowdmod_tpu.ops.pallas.conv3d import conv3d_same_im2col
+
+        return conv3d_same_im2col(x, kernel, compute_dtype=x.dtype)
 
     conv2d = lambda x2, k2: jax.lax.conv_general_dilated(
         x2, k2, (1, 1), "SAME",

@@ -54,6 +54,100 @@ def _kernel(x_ref, w_ref, o_ref, patches):
         ).reshape(h, w, -1).astype(o_ref.dtype)
 
 
+def _tap_kernel(x_ref, w_ref, o_ref, acc):
+    """One batch element, tap-packed shift-GEMM conv.
+
+    No im2col copies at all: for each (kd, kh) the input slab
+    ``x_ref[0, t+kd, kh:kh+H, :, :]`` is a CONTIGUOUS ``(H, W+2, C)`` block
+    (trailing dims full), reshaped free of charge to ``(H·(W+2), C)`` and
+    multiplied by the tap's weights with all three kw taps PACKED into the
+    GEMM's N dimension (``3·Cout`` lanes — 3× the lane fill of the naive
+    conv).  The kw de-shuffle is a cheap shifted accumulate on the small
+    output tile.
+
+    x_ref: (1, T+2, H+2, W+2, C);  w_ref: (9, C, 3*Cout);
+    o_ref: (1, T, H, W, Cout);  acc: VMEM (H*(W+2), 3*Cout) f32 scratch.
+    """
+    t, h, w = o_ref.shape[1], o_ref.shape[2], o_ref.shape[3]
+    wp = w + 2
+    c = x_ref.shape[4]
+    cout = o_ref.shape[4]
+    for ti in range(t):
+        acc[:] = jnp.zeros_like(acc)
+        for kd in range(3):
+            for kh in range(3):
+                slab = x_ref[0, ti + kd, kh : kh + h, :, :].reshape(h * wp, c)
+                acc[:] += jnp.dot(
+                    slab, w_ref[kd * 3 + kh],
+                    preferred_element_type=jnp.float32,
+                )
+        z = acc[:].reshape(h, wp, 3, cout)
+        # Output pixel w consumed input columns w-1, w, w+1 of the padded
+        # slab; tap g's contribution lives at padded column w + g - 1 + 1.
+        o_ref[0, ti] = (
+            z[:, 0:w, 0, :] + z[:, 1 : w + 1, 1, :] + z[:, 2 : w + 2, 2, :]
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
+def conv3d_same_tapgemm(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    *,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Stride-1 SAME 3×3×3 conv via 9 tap-packed slab GEMMs per t-slice.
+
+    Same contract as :func:`conv3d_same_im2col` but with zero patch
+    materialization: K = Cin per GEMM (underfilled for narrow layers) while
+    N = 3·Cout (3× the naive lane fill) and the input is read exactly once
+    per (kd, kh) tap as a contiguous slab.
+    """
+    b, t, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    xp = jnp.pad(
+        x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))
+    ).astype(compute_dtype)
+    # w_taps[kd*3+kh] = [Cin, 3*Cout] with kw fastest in N blocks: the
+    # GEMM's column block g holds tap (kd, kh, g)'s weights.
+    w_taps = jnp.transpose(kernel, (0, 1, 3, 2, 4)).reshape(
+        9, cin, 3 * cout
+    ).astype(compute_dtype)
+
+    return pl.pallas_call(
+        _tap_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, t + 2, h + 2, w + 2, cin),
+                lambda i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, h, w, cout),
+            lambda i: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, h, w, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h * (w + 2), 3 * cout), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * h * (w + 2) * 27 * cin * cout,
+            bytes_accessed=(
+                xp.size * xp.dtype.itemsize
+                + w_taps.size * w_taps.dtype.itemsize
+                + b * t * h * w * cout * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, w_taps)
+
+
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
 def conv3d_same_im2col(
     x: jnp.ndarray,

@@ -199,6 +199,25 @@ def test_conv3d_grads_agree():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
 
+def test_conv3d_tapgemm_matches_xla():
+    """Tap-packed shift-GEMM conv == XLA direct conv (interpret mode)."""
+    from crowdmod_tpu.ops.conv3d import conv3d_same
+    from crowdmod_tpu.ops.pallas.conv3d import conv3d_same_tapgemm
+
+    rng = np.random.default_rng(5)
+    for cin, cout in [(32, 32), (96, 32), (3, 16)]:
+        x = jnp.asarray(rng.normal(size=(2, 3, 8, 12, cin)).astype(np.float32))
+        k = jnp.asarray(
+            rng.normal(size=(3, 3, 3, cin, cout)).astype(np.float32) * 0.1
+        )
+        ref = conv3d_same(x, k, "direct")
+        out = conv3d_same_tapgemm(x, k, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5,
+            err_msg=f"tapgemm conv diverges at {cin}->{cout}",
+        )
+
+
 def test_conv3d_im2col_matches_xla():
     """Weight-resident im2col conv == XLA direct conv (interpret mode), at
     the UNet's narrow-channel shapes including the decoder concat widths."""

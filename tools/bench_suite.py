@@ -28,20 +28,47 @@ if REPO not in sys.path:
 B, P, F, H, W, C = 64, 5, 3, 12, 36, 3
 
 
-def _block(x):
+def _readback(x):
+    """Force real completion: on tunneled TPU backends block_until_ready can
+    resolve before the device finishes, and bursts of identical dispatches
+    coalesce — a scalar readback per rep defeats both."""
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(x)
-    return x
+    return float(jnp.ravel(jax.tree.leaves(x)[0])[0])
+
+
+_RT = None
+
+
+def _round_trip():
+    global _RT
+    if _RT is None:
+        import jax
+        import jax.numpy as jnp
+
+        triv = jax.jit(lambda x: x + 1.0)
+        y = triv(jnp.zeros((8,)))
+        _readback(y)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            y = triv(y)
+            _readback(y)
+        _RT = (time.perf_counter() - t0) / 5
+    return _RT
 
 
 def timeit(fn, *args, reps=5):
-    _block(fn(*args))
-    t0 = time.perf_counter()
+    import jax
+
+    _readback(fn(*args))
+    times = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = fn(*args)
-    _block(out)
-    return (time.perf_counter() - t0) / reps
+        _readback(out)
+        times.append(time.perf_counter() - t0 - _round_trip())
+    return max(min(times), 1e-9)
 
 
 def report(metric, value, unit):

@@ -57,13 +57,22 @@ def measure(pallas: str, conv_impl: str, unroll: int, timesteps: int,
         lambda x, t, cond: model.apply(params, x, t, cond),
         sched, past, key, (b, f, h, w, c), unroll=unroll))
     out = sample(past, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
+    _ = float(jnp.ravel(out)[0])  # readback: tunnels can resolve block early
+    triv = jax.jit(lambda x: x + 1.0)
+    y = triv(jnp.zeros((8,)))
+    _ = float(y[0])
     t0 = time.perf_counter()
+    for _ in range(5):
+        y = triv(y)
+        _ = float(y[0])
+    rt = (time.perf_counter() - t0) / 5  # dispatch+readback round trip
+    times = []
     for i in range(reps):
+        t0 = time.perf_counter()
         out = sample(past, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
-    return b * timesteps / dt
+        _ = float(jnp.ravel(out)[0])
+        times.append(time.perf_counter() - t0 - rt)
+    return b * timesteps / min(times)
 
 
 def main(argv=None) -> int:
