@@ -81,11 +81,15 @@ def _tap_kernel(x_ref, w_ref, o_ref, acc):
                     slab, w_ref[kd * 3 + kh],
                     preferred_element_type=jnp.float32,
                 )
-        z = acc[:].reshape(h, wp, 3, cout)
-        # Output pixel w consumed input columns w-1, w, w+1 of the padded
-        # slab; tap g's contribution lives at padded column w + g - 1 + 1.
+        # Keep the lane dimension whole (3*Cout) — splitting it 96→(3, 32)
+        # re-tiles lanes, which Mosaic rejects; column group g is a plain
+        # lane slice instead.  Output pixel w consumed padded columns
+        # w, w+1, w+2 for taps g = 0, 1, 2.
+        z = acc[:].reshape(h, wp, 3 * cout)
         o_ref[0, ti] = (
-            z[:, 0:w, 0, :] + z[:, 1 : w + 1, 1, :] + z[:, 2 : w + 2, 2, :]
+            z[:, 0:w, 0:cout]
+            + z[:, 1 : w + 1, cout : 2 * cout]
+            + z[:, 2 : w + 2, 2 * cout : 3 * cout]
         ).astype(o_ref.dtype)
 
 
