@@ -36,6 +36,8 @@ def main(argv=None) -> int:
                    help="DDPM | DDIM | DPM-Solver")
     p.add_argument("--out", default=None, help="Write a JSON report here.")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--w-type", default=None, choices=["Linear", "Conic"],
+                   help="FM interpolant override (MODEL.FM.W_TYPE)")
     args = p.parse_args(argv)
 
     import jax
@@ -58,7 +60,8 @@ def main(argv=None) -> int:
                 "UNET": epochs_node, "DIT": epochs_node,
             },
             "FM": {"UNET": epochs_node, "DIT": epochs_node,
-                   "INTEGRATOR_STEPS": {"EULER": 100, "HEUN": 50}},
+                   "INTEGRATOR_STEPS": {"EULER": 100, "HEUN": 50},
+                   **({"W_TYPE": args.w_type} if args.w_type else {})},
             "CONVRNN": epochs_node,
         },
     })
@@ -101,6 +104,7 @@ def main(argv=None) -> int:
     report = {
         "arch": args.arch,
         "sampler": args.sampler,
+        "w_type": args.w_type,
         "epochs": args.epochs,
         "train_wall_s": round(wall, 1),
         "final_loss": round(hist["train_loss"][-1], 6),
