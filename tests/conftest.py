@@ -42,6 +42,7 @@ _SLOW_MODULES = {
     "test_trainer", "test_serving", "test_cli", "test_ddpm_e2e",
     "test_tools", "test_comparison_tools", "test_validate",
     "test_fixed_crowd_tool", "test_protocol_parity",
+    "test_fm_convrnn_protocol_parity",
     # Measured > 1 min/module on this host (round-2 timing pass): many-epoch
     # CPU trainings and the 8-device virtual-mesh compile storms.
     "test_backbones", "test_parallel", "test_convrnn", "test_dpm_solver",

@@ -144,19 +144,10 @@ def _ref_energy_metric_fixed(mg, chunk: int) -> None:
     mg.data_dict["MIN-ENERGY"] = min_energy
 
 
-@pytest.fixture(scope="module")
-def protocol(tmp_path_factory):
-    """Run the reference program end-to-end; return everything both sides
-    need (trained model, captured pred/GT, reference CSV dir)."""
-    import random
-
-    tmp = tmp_path_factory.mktemp("protocol")
-    cfg_dict = _ref_cfg_dict(str(tmp))
-    os.makedirs(cfg_dict["DATA_FS"]["PICKLE_DIR"], exist_ok=True)
-    os.makedirs(cfg_dict["DATA_FS"]["SAVE_DIR"], exist_ok=True)
-    os.makedirs(cfg_dict["DATA_FS"]["OUTPUT_DIR"], exist_ok=True)
-
-    # Walker fixture in the reference pickle layout (n, 4, H, W, L).
+def write_walker_pickles(cfg_dict: dict) -> None:
+    """Write the walker fixture in the reference pickle layout
+    (n, 4, H, W, L) and fill in cfg_dict["DATA_LIST"].  Shared with
+    tests/test_fm_convrnn_protocol_parity.py."""
     from crowdmod_tpu.data.synthetic import synthetic_walkers
 
     rng = np.random.default_rng(0)
@@ -176,6 +167,21 @@ def protocol(tmp_path_factory):
             pickle.dump(arr, f)
         data_list.append([name, 8])
     cfg_dict["DATA_LIST"] = data_list
+
+
+@pytest.fixture(scope="module")
+def protocol(tmp_path_factory):
+    """Run the reference program end-to-end; return everything both sides
+    need (trained model, captured pred/GT, reference CSV dir)."""
+    import random
+
+    tmp = tmp_path_factory.mktemp("protocol")
+    cfg_dict = _ref_cfg_dict(str(tmp))
+    os.makedirs(cfg_dict["DATA_FS"]["PICKLE_DIR"], exist_ok=True)
+    os.makedirs(cfg_dict["DATA_FS"]["SAVE_DIR"], exist_ok=True)
+    os.makedirs(cfg_dict["DATA_FS"]["OUTPUT_DIR"], exist_ok=True)
+
+    write_walker_pickles(cfg_dict)
 
     from easydict import EasyDict
 

@@ -59,8 +59,12 @@ def _round_trip():
 
 
 def timeit(fn, *args, reps=5):
-    import jax
+    """Per-dispatch timing with readback and round-trip subtraction.
 
+    Only valid for LONG programs (the sampler/integrator scans, ~0.5-5 s):
+    for short single-dispatch programs the terminal coalesces repeated
+    identical dispatches and `elapsed - round_trip` collapses to ~0 —
+    use timeit_scan for those (PERF.md round-2 methodology)."""
     _readback(fn(*args))
     times = []
     for _ in range(reps):
@@ -69,6 +73,34 @@ def timeit(fn, *args, reps=5):
         _readback(out)
         times.append(time.perf_counter() - t0 - _round_trip())
     return max(min(times), 1e-9)
+
+
+def timeit_scan(fn, x, *rest, iters=20, reps=3):
+    """On-device iteration loop for short programs: chain ``iters``
+    evaluations of ``fn(x, *rest)`` inside one jitted ``lax.scan`` with a
+    scalar *mean* coupling (a single-element coupling gets DCE-sliced),
+    read back once, subtract the round trip, divide by ``iters``."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x, *rest):
+        def body(s, _):
+            out = fn(x + s, *rest)
+            leaves = jax.tree.leaves(out)
+            m = sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
+            return m * 1e-20, None
+
+        s, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return s
+
+    _readback(run(x, *rest))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _readback(run(x, *rest))
+        times.append(time.perf_counter() - t0 - _round_trip())
+    return max(min(times) / iters, 1e-9)
 
 
 def report(metric, value, unit):
@@ -170,9 +202,9 @@ def main(argv=None) -> int:
     past4 = jnp.zeros((B, P, H, W, 4), jnp.float32)
     cparams = conv_model.init(jax.random.PRNGKey(4), past4, future_len=F,
                               teacher_forcing=False)
-    f = jax.jit(lambda x: conv_model.apply(
-        cparams, x, future_len=F, teacher_forcing=False))
-    dt = timeit(f, past4, reps=10)
+    f = lambda x: conv_model.apply(
+        cparams, x, future_len=F, teacher_forcing=False)
+    dt = timeit_scan(f, past4, iters=20)
     report("convrnn_rollouts_per_sec", B / dt, "forecasts/s (batch 64)")
 
     # 6. On-device metric suite.
@@ -182,7 +214,6 @@ def main(argv=None) -> int:
     pred = jax.random.uniform(key, (256, F, H, W, C))
     gt = jax.random.uniform(jax.random.fold_in(key, 1), (256, F, H, W, C))
 
-    @jax.jit
     def metric_suite(pred, gt):
         r = mf.channel_ranges(gt)
         return (
@@ -193,7 +224,7 @@ def main(argv=None) -> int:
             mf.re_density(pred, gt),
         )
 
-    dt = timeit(metric_suite, pred, gt, reps=5)
+    dt = timeit_scan(metric_suite, pred, gt, iters=20)
     report("metric_suite_seqs_per_sec", 256 / dt,
            "sequences/s (PSNR+mPSNR+SSIM+TV+RE)")
     return 0
