@@ -107,10 +107,23 @@ def report(metric, value, unit):
     print(json.dumps({"metric": metric, "value": round(value, 1), "unit": unit}))
 
 
+SECTIONS = ("ddpm", "dit", "ddim", "train", "fm", "convrnn", "metrics")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument(
+        "--only", default=None,
+        help="comma-separated subset of sections to run: "
+             + ",".join(SECTIONS),
+    )
     args = p.parse_args(argv)
+    only = set(args.only.split(",")) if args.only else set(SECTIONS)
+    unknown = only - set(SECTIONS)
+    if unknown:
+        p.error(f"unknown sections {sorted(unknown)}")
+    run = only.__contains__
 
     import jax
     import jax.numpy as jnp
@@ -138,95 +151,102 @@ def main(argv=None) -> int:
     sched = linear_schedule(T, scale=0.5)
 
     # 1. DDPM ancestral sampling (headline).
-    f = jax.jit(lambda p_, k: ddpm_sample(denoise, sched, p_, k, (B, F, H, W, C)))
-    dt = timeit(f, past, jax.random.PRNGKey(1), reps=3)
-    report("ddpm_denoise_steps_per_sec", B * T / dt, "sample-steps/s")
+    if run("ddpm"):
+        f = jax.jit(lambda p_, k: ddpm_sample(denoise, sched, p_, k, (B, F, H, W, C)))
+        dt = timeit(f, past, jax.random.PRNGKey(1), reps=3)
+        report("ddpm_denoise_steps_per_sec", B * T / dt, "sample-steps/s")
 
     # 1b. DDPM-DiT flagship (reference DDPM-DiT config).
     from crowdmod_tpu.models.backbones.dit import DiT4DFactorized
 
-    dit = DiT4DFactorized(
-        out_channels=C, grid_rows=H, grid_cols=W,
-        patch_size=4, hidden_size=256, depth=6, num_heads=4,
-        mlp_ratio=4.0, dropout_rate=0.1, time_multiple=4,
-        past_len=P, future_len=F, t_patch_size=4, dtype=dtype,
-    )
-    dit_params = dit.init(jax.random.PRNGKey(0), future, jnp.zeros((B,)), past)
-    f = jax.jit(lambda p_, k: ddpm_sample(
-        lambda x, t, c_: dit.apply(dit_params, x, t, c_),
-        sched, p_, k, (B, F, H, W, C)))
-    dt = timeit(f, past, jax.random.PRNGKey(1), reps=3)
-    report("ddpm_dit_denoise_steps_per_sec", B * T / dt, "sample-steps/s")
+    if run("dit"):
+        dit = DiT4DFactorized(
+            out_channels=C, grid_rows=H, grid_cols=W,
+            patch_size=4, hidden_size=256, depth=6, num_heads=4,
+            mlp_ratio=4.0, dropout_rate=0.1, time_multiple=4,
+            past_len=P, future_len=F, t_patch_size=4, dtype=dtype,
+        )
+        dit_params = dit.init(jax.random.PRNGKey(0), future, jnp.zeros((B,)), past)
+        f = jax.jit(lambda p_, k: ddpm_sample(
+            lambda x, t, c_: dit.apply(dit_params, x, t, c_),
+            sched, p_, k, (B, F, H, W, C)))
+        dt = timeit(f, past, jax.random.PRNGKey(1), reps=3)
+        report("ddpm_dit_denoise_steps_per_sec", B * T / dt, "sample-steps/s")
 
     # 2. DDIM (divider 10).
-    taus = ddim_tau_schedule(T, 10)
-    f = jax.jit(lambda p_, k: ddim_sample(
-        denoise, sched, p_, k, (B, F, H, W, C), taus))
-    dt = timeit(f, past, jax.random.PRNGKey(1), reps=3)
-    report("ddim10_samples_per_sec", B / dt, "full samples/s (batch 64)")
+    if run("ddim"):
+        taus = ddim_tau_schedule(T, 10)
+        f = jax.jit(lambda p_, k: ddim_sample(
+            denoise, sched, p_, k, (B, F, H, W, C), taus))
+        dt = timeit(f, past, jax.random.PRNGKey(1), reps=3)
+        report("ddim10_samples_per_sec", B / dt, "full samples/s (batch 64)")
 
     # 3. Training step throughput.
-    def loss_fn(prm, batch, key):
-        p_, f_ = batch
-        d = lambda x, t, c_: model.apply(
-            prm, x, t, c_, deterministic=False, rngs={"dropout": key}
-        )
-        return ddpm_loss(d, sched, f_, p_, key)
+    if run("train"):
+        def loss_fn(prm, batch, key):
+            p_, f_ = batch
+            d = lambda x, t, c_: model.apply(
+                prm, x, t, c_, deterministic=False, rngs={"dropout": key}
+            )
+            return ddpm_loss(d, sched, f_, p_, key)
 
-    state = TrainState.create(params, adam_with_plateau(1e-4))
-    step = make_train_step(loss_fn, donate=False)
-    dt = timeit(step, state, (past, future), jax.random.PRNGKey(2), reps=10)
-    report("train_steps_per_sec", 1.0 / dt, "optimizer steps/s (batch 64)")
-    report("train_samples_per_sec", B / dt, "training samples/s")
+        state = TrainState.create(params, adam_with_plateau(1e-4))
+        step = make_train_step(loss_fn, donate=False)
+        dt = timeit(step, state, (past, future), jax.random.PRNGKey(2), reps=10)
+        report("train_steps_per_sec", 1.0 / dt, "optimizer steps/s (batch 64)")
+        report("train_samples_per_sec", B / dt, "training samples/s")
 
     # 4. Flow matching integrators.
-    steps = 100 if args.quick else 1000
-    f = jax.jit(lambda p_, k: euler_sample(
-        denoise, p_, k, (B, F, H, W, C), steps=steps, time_max_pos=T))
-    dt = timeit(f, past, jax.random.PRNGKey(3), reps=3)
-    report("fm_euler_steps_per_sec", B * steps / dt, "integrator steps/s")
+    if run("fm"):
+        steps = 100 if args.quick else 1000
+        f = jax.jit(lambda p_, k: euler_sample(
+            denoise, p_, k, (B, F, H, W, C), steps=steps, time_max_pos=T))
+        dt = timeit(f, past, jax.random.PRNGKey(3), reps=3)
+        report("fm_euler_steps_per_sec", B * steps / dt, "integrator steps/s")
 
-    f = jax.jit(lambda p_, k: heun_sample(
-        denoise, p_, k, (B, F, H, W, C), steps=steps // 2, time_max_pos=T))
-    dt = timeit(f, past, jax.random.PRNGKey(3), reps=3)
-    report("fm_heun_steps_per_sec", B * (steps // 2) / dt, "integrator steps/s")
+        f = jax.jit(lambda p_, k: heun_sample(
+            denoise, p_, k, (B, F, H, W, C), steps=steps // 2, time_max_pos=T))
+        dt = timeit(f, past, jax.random.PRNGKey(3), reps=3)
+        report("fm_heun_steps_per_sec", B * (steps // 2) / dt, "integrator steps/s")
 
     # 5. ConvRNN rollout.
     from crowdmod_tpu.models.convrnn import CELLS, Forecaster
 
-    conv_model = Forecaster(
-        out_channels=4,
-        cell=CELLS["ConvGRUCell"],
-        dtype=dtype,
-    )
-    past4 = jnp.zeros((B, P, H, W, 4), jnp.float32)
-    cparams = conv_model.init(jax.random.PRNGKey(4), past4, future_len=F,
-                              teacher_forcing=False)
-    f = lambda x: conv_model.apply(
-        cparams, x, future_len=F, teacher_forcing=False)
-    dt = timeit_scan(f, past4, iters=20)
-    report("convrnn_rollouts_per_sec", B / dt, "forecasts/s (batch 64)")
+    if run("convrnn"):
+        conv_model = Forecaster(
+            out_channels=4,
+            cell=CELLS["ConvGRUCell"],
+            dtype=dtype,
+        )
+        past4 = jnp.zeros((B, P, H, W, 4), jnp.float32)
+        cparams = conv_model.init(jax.random.PRNGKey(4), past4, future_len=F,
+                                  teacher_forcing=False)
+        f = lambda x: conv_model.apply(
+            cparams, x, future_len=F, teacher_forcing=False)
+        dt = timeit_scan(f, past4, iters=200)
+        report("convrnn_rollouts_per_sec", B / dt, "forecasts/s (batch 64)")
 
     # 6. On-device metric suite.
     from crowdmod_tpu.metrics import functional as mf
 
-    key = jax.random.PRNGKey(5)
-    pred = jax.random.uniform(key, (256, F, H, W, C))
-    gt = jax.random.uniform(jax.random.fold_in(key, 1), (256, F, H, W, C))
+    if run("metrics"):
+        key = jax.random.PRNGKey(5)
+        pred = jax.random.uniform(key, (256, F, H, W, C))
+        gt = jax.random.uniform(jax.random.fold_in(key, 1), (256, F, H, W, C))
 
-    def metric_suite(pred, gt):
-        r = mf.channel_ranges(gt)
-        return (
-            mf.psnr_over_time(pred, gt, r),
-            mf.psnr_over_time(pred, gt, r, masked=True),
-            mf.ssim_over_time(pred, gt, r),
-            mf.tv_over_time(pred, gt),
-            mf.re_density(pred, gt),
-        )
+        def metric_suite(pred, gt):
+            r = mf.channel_ranges(gt)
+            return (
+                mf.psnr_over_time(pred, gt, r),
+                mf.psnr_over_time(pred, gt, r, masked=True),
+                mf.ssim_over_time(pred, gt, r),
+                mf.tv_over_time(pred, gt),
+                mf.re_density(pred, gt),
+            )
 
-    dt = timeit_scan(metric_suite, pred, gt, iters=20)
-    report("metric_suite_seqs_per_sec", 256 / dt,
-           "sequences/s (PSNR+mPSNR+SSIM+TV+RE)")
+        dt = timeit_scan(metric_suite, pred, gt, iters=600)
+        report("metric_suite_seqs_per_sec", 256 / dt,
+               "sequences/s (PSNR+mPSNR+SSIM+TV+RE)")
     return 0
 
 
