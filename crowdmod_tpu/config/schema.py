@@ -69,6 +69,8 @@ class SolverSchema:
 class TrainSchema:
     EPOCHS: int = req(positive=True)
     SOLVER: SolverSchema = req()
+    # EMA of the weights for sampling/eval (0 disables; typical 0.999).
+    EMA_DECAY: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -21,22 +21,43 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # Exponential moving average of params (a production-standard diffusion
+    # training feature the reference lacks).  ``None`` when disabled;
+    # ``ema_decay`` is trace-static so the update compiles away when off.
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     @classmethod
-    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+    def create(
+        cls, params, tx: optax.GradientTransformation, *,
+        ema_decay: float = 0.0,
+    ) -> "TrainState":
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
             tx=tx,
+            # A real copy, not an alias: params and ema live in one donated
+            # state pytree, and donating the same buffer twice is an error.
+            ema_params=jax.tree.map(jnp.copy, params) if ema_decay else None,
+            ema_decay=ema_decay,
         )
 
     def apply_gradients(self, grads) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if new_ema is not None:
+            d = self.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                new_ema, new_params,
+            )
         return self.replace(
             step=self.step + 1,
-            params=optax.apply_updates(self.params, updates),
+            params=new_params,
             opt_state=new_opt_state,
+            ema_params=new_ema,
         )
 
 

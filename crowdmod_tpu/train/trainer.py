@@ -208,7 +208,14 @@ class Trainer:
             from crowdmod_tpu.parallel.sharding import shard_params
 
             params = shard_params(params, self.mesh)
-        self.state = TrainState.create(params, self.tx)
+        ema_decay = float(
+            _solver_node(self.cfg, self.arch).get("EMA_DECAY", 0.0)
+        )
+        if not 0.0 <= ema_decay < 1.0:
+            raise ValueError(
+                f"TRAIN.EMA_DECAY must be in [0, 1); got {ema_decay}"
+            )
+        self.state = TrainState.create(params, self.tx, ema_decay=ema_decay)
         self._train_step = make_train_step(self._loss_fn(), donate=True)
         return self
 
@@ -390,27 +397,43 @@ class Trainer:
         name = ckpt.checkpoint_name(self.cfg, self.arch, epoch)
         path = os.path.join(save_dir, name)
         meta = ckpt.build_metadata(self.cfg, self.arch, epoch, extra)
-        return ckpt.save_checkpoint(
-            path, {"params": self.state.params, "step": self.state.step},
-            meta, async_save=async_save,
-        )
+        payload = {"params": self.state.params, "step": self.state.step}
+        if self.state.ema_params is not None:
+            payload["ema_params"] = self.state.ema_params
+        return ckpt.save_checkpoint(path, payload, meta, async_save=async_save)
 
     def load(self, path: str):
         if self.state is None:
             self.setup()
         restored, meta = ckpt.load_checkpoint(path)
+        structure = jax.tree.structure(self.state.params)
         params = jax.tree.unflatten(
-            jax.tree.structure(self.state.params),
-            jax.tree.leaves(restored["params"]),
+            structure, jax.tree.leaves(restored["params"])
         )
-        self.state = self.state.replace(params=params)
+        ema = self.state.ema_params
+        if "ema_params" in restored:
+            ema = jax.tree.unflatten(
+                structure, jax.tree.leaves(restored["ema_params"])
+            )
+        elif ema is not None:
+            # EMA enabled but checkpoint predates it: seed from the weights
+            # (copied — params and ema share a donated state pytree).
+            ema = jax.tree.map(jnp.copy, params)
+        self.state = self.state.replace(params=params, ema_params=ema)
         return meta
 
     # ------------------------------------------------------------------
     # Sampling
     # ------------------------------------------------------------------
+    def _sample_params(self):
+        """EMA weights when enabled (smoother samples), else the raw
+        training weights.  Training/eval losses always use the raw weights
+        (they drive the plateau scheduler)."""
+        st = self.state
+        return st.ema_params if st.ema_params is not None else st.params
+
     def _denoise_fn(self):
-        params = self.state.params
+        params = self._sample_params()
         return lambda x, t, c: self.model.apply(params, x, t, c)
 
     def sample(self, past: jnp.ndarray, key, *, history: bool = False):
@@ -467,7 +490,7 @@ class Trainer:
         # ConvRNN: deterministic rollout; exp() the log-space channels
         # (reference convRNN.py:223-231).
         pred = self.model.apply(
-            self.state.params, past, future_len=f, teacher_forcing=False
+            self._sample_params(), past, future_len=f, teacher_forcing=False
         )
         out = pred
         for chd in (0, 3):

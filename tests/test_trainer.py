@@ -371,3 +371,83 @@ def test_evaluate_drops_ragged_remainder(smoke_cfg, tmp_path):
     seen.clear()
     val = tr.evaluate(walker_ds(cfg, n=1))  # 2 windows < batch 4
     assert seen == [(2, 5, 8, 12, 3)]
+
+
+def test_ema_state_update_math():
+    """TrainState EMA: after one step, ema = d*ema_prev + (1-d)*params_new."""
+    import optax
+
+    from crowdmod_tpu.train.state import TrainState, make_train_step
+
+    params = {"w": jnp.ones((4,))}
+    d = 0.75
+    state = TrainState.create(params, optax.sgd(0.5), ema_decay=d)
+    assert state.ema_params is not None
+
+    step = make_train_step(
+        lambda p, batch, key: jnp.sum(p["w"] * batch), donate=False
+    )
+    batch = jnp.full((4,), 2.0)  # grad = 2 → new w = 1 - 0.5*2 = 0
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(state.params["w"]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(          # 0.75*1 + 0.25*0
+        np.asarray(state.ema_params["w"]), 0.75, atol=1e-6
+    )
+
+    # Disabled: no EMA tree is carried.
+    off = TrainState.create(params, optax.sgd(0.5))
+    assert off.ema_params is None
+    off, _ = step(off, batch, jax.random.PRNGKey(0))
+    assert off.ema_params is None
+
+
+def test_trainer_ema_fit_sample_checkpoint(smoke_cfg, tmp_path):
+    """EMA_DECAY in the TRAIN node: fit diverges ema from raw params,
+    sampling uses the EMA weights, and checkpoints round-trip them."""
+    cfg = tiny_cfg(smoke_cfg, tmp_path, DDPM={
+        "TIMESTEPS": 10, "CHECKPOINTS_TO_KEEP": 0,
+        "UNET": {
+            "BASE_CH": 8, "BASE_CH_MULT": [1, 2],
+            "APPLY_ATTENTION": [False, False], "DROPOUT_RATE": 0.0,
+            "TRAIN": {"EPOCHS": 2, "EMA_DECAY": 0.9},
+        },
+    })
+    ds = walker_ds(cfg)
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run"))
+    tr.fit(ds)
+    assert tr.state.ema_params is not None
+    leaves = jax.tree.leaves(tr.state.params)
+    ema_leaves = jax.tree.leaves(tr.state.ema_params)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves, ema_leaves)
+    ), "EMA should lag the raw weights after training"
+
+    past = jnp.zeros((2, cfg.DATASET.PAST_LEN, 8, 12, 3))
+    out = tr.sample(past, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out)).all()
+
+    # Round-trip via an explicit post-fit checkpoint (the "000" best may
+    # capture an earlier epoch's EMA than the final state).
+    tr.save(cfg.DATA_FS.SAVE_DIR, "999")
+    final = os.path.join(cfg.DATA_FS.SAVE_DIR,
+                         checkpoint_name(cfg, "DDPM-UNet", "999"))
+    tr2 = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run2"))
+    tr2.setup()
+    tr2.load(final)
+    for a, b in zip(jax.tree.leaves(tr2.state.ema_params),
+                    jax.tree.leaves(tr.state.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_trainer_ema_decay_validation(smoke_cfg, tmp_path):
+    cfg = tiny_cfg(smoke_cfg, tmp_path, DDPM={
+        "TIMESTEPS": 10, "CHECKPOINTS_TO_KEEP": 0,
+        "UNET": {
+            "BASE_CH": 8, "BASE_CH_MULT": [1, 2],
+            "APPLY_ATTENTION": [False, False], "DROPOUT_RATE": 0.0,
+            "TRAIN": {"EPOCHS": 1, "EMA_DECAY": 1.5},
+        },
+    })
+    with pytest.raises(ValueError, match="EMA_DECAY"):
+        Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run")).setup()
