@@ -38,6 +38,8 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--w-type", default=None, choices=["Linear", "Conic"],
                    help="FM interpolant override (MODEL.FM.W_TYPE)")
+    p.add_argument("--ema", type=float, default=0.0,
+                   help="TRAIN.EMA_DECAY (0 disables; e.g. 0.995)")
     args = p.parse_args(argv)
 
     import jax
@@ -50,7 +52,10 @@ def main(argv=None) -> int:
     from crowdmod_tpu.train.trainer import Trainer
 
     h, w = 12, 36
-    epochs_node = {"TRAIN": {"EPOCHS": args.epochs}}
+    epochs_node = {"TRAIN": {
+        "EPOCHS": args.epochs,
+        **({"EMA_DECAY": args.ema} if args.ema else {}),
+    }}
     cfg = load_config(os.path.join(REPO, "configs", "4test", "ATC.yml")).updated({
         "DATA_FS": {"SAVE_DIR": "/tmp/validate_ckpts", "OUTPUT_DIR": "/tmp/validate_out"},
         "DATASET": {"BATCH_SIZE": args.batch},
