@@ -101,6 +101,24 @@ def test_ingest_uses_native_layout(smoke_cfg, tmp_path):
     assert stats.shape == (3, 4)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("sanitizer", ["thread", "address"])
+def test_sanitizer_harness(sanitizer):
+    """Race/memory validation: every entry point under TSan / ASan+UBSan.
+
+    Runs in a bare process (tools/native_sanitize.py) because in-Python ASan
+    collides with jaxlib's uninstrumented exceptions; see VALIDATION.md.
+    """
+    import subprocess
+    import sys
+
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "native_sanitize.py")
+    proc = subprocess.run([sys.executable, tool, sanitizer],
+                         capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
 def test_corrupt_cmb_cache_recovers(tmp_path):
     """A truncated .cmb sidecar is dropped and rebuilt from the pickle."""
     import pickle
