@@ -48,7 +48,13 @@ class TrainState(struct.PyTreeNode):
         new_params = optax.apply_updates(self.params, updates)
         new_ema = self.ema_params
         if new_ema is not None:
-            d = self.ema_decay
+            # Warmup schedule (tf.train.ExponentialMovingAverage's
+            # ``num_updates`` form): early steps use a much smaller effective
+            # decay so the average forgets the random initialization.  With a
+            # flat decay d over n steps the init retains weight d^n — e.g.
+            # 0.995^240 ≈ 0.30 of the EMA on a short run.
+            t = self.step.astype(jnp.float32)
+            d = jnp.minimum(self.ema_decay, (1.0 + t) / (10.0 + t))
             new_ema = jax.tree.map(
                 lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
                 new_ema, new_params,

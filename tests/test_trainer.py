@@ -374,7 +374,8 @@ def test_evaluate_drops_ragged_remainder(smoke_cfg, tmp_path):
 
 
 def test_ema_state_update_math():
-    """TrainState EMA: after one step, ema = d*ema_prev + (1-d)*params_new."""
+    """TrainState EMA: ema = d_eff*ema_prev + (1-d_eff)*params_new, where
+    d_eff = min(decay, (1+t)/(10+t)) is the warmup-scheduled decay."""
     import optax
 
     from crowdmod_tpu.train.state import TrainState, make_train_step
@@ -390,8 +391,18 @@ def test_ema_state_update_math():
     batch = jnp.full((4,), 2.0)  # grad = 2 → new w = 1 - 0.5*2 = 0
     state, _ = step(state, batch, jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(state.params["w"]), 0.0, atol=1e-7)
-    np.testing.assert_allclose(          # 0.75*1 + 0.25*0
-        np.asarray(state.ema_params["w"]), 0.75, atol=1e-6
+    # Step t=0: d_eff = min(0.75, 1/10) = 0.1 → ema = 0.1*1 + 0.9*0.
+    np.testing.assert_allclose(
+        np.asarray(state.ema_params["w"]), 0.1, atol=1e-6
+    )
+    # Zero grads from here on: params stay 0, ema decays toward them with
+    # d_eff = min(0.75, (1+t)/(10+t)); by t=30 the schedule caps at 0.75.
+    ema = 0.1
+    for t in range(1, 40):
+        state, _ = step(state, jnp.zeros((4,)), jax.random.PRNGKey(t))
+        ema *= min(d, (1.0 + t) / (10.0 + t))
+    np.testing.assert_allclose(
+        np.asarray(state.ema_params["w"]), ema, rtol=1e-5
     )
 
     # Disabled: no EMA tree is carried.

@@ -10,8 +10,25 @@ from crowdmod_tpu.config.validate import require_valid, validate_config
 def test_all_shipped_configs_valid():
     import pathlib
 
+    import yaml
+
     repo = pathlib.Path(__file__).resolve().parents[1]
-    for yml in sorted((repo / "configs").rglob("*.yml")):
+    ymls = sorted((repo / "configs").rglob("*.yml"))
+    assert ymls
+    for yml in ymls:
+        if yml.name.endswith("_datafiles.yml"):
+            # Companion datafile lists (reference config/ATC_datafiles.yml
+            # shape), not full configs: a DATA_LIST of (filename, count).
+            with open(yml) as f:
+                data = yaml.safe_load(f)
+            assert set(data) == {"DATA_LIST"}, yml.name
+            for entry in data["DATA_LIST"]:
+                # Both reference forms: bare filename, or (filename, count).
+                if isinstance(entry, str):
+                    continue
+                name, count = entry
+                assert isinstance(name, str) and isinstance(count, int), yml.name
+            continue
         cfg = load_config(yml)
         problems = validate_config(cfg)
         assert not problems, f"{yml.name}: {problems}"
