@@ -8,6 +8,7 @@ the ``crowdmod`` console script:
   * ``generate_metrics``  — repeated-past metric suite → CSV/manifest/boxplots
   * ``sweep``             — random-search hyperparameter sweeps
   * ``serve``             — HTTP inference server (batching, health, metrics)
+  * ``doctor``            — deployment environment self-check
 """
 
 from __future__ import annotations
@@ -62,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
         "compare": "crowdmod_tpu.viz.compare_models",
         "view": "crowdmod_tpu.viz.html_viewer",
         "params": "crowdmod_tpu.utils.model_info",
+        "doctor": "crowdmod_tpu.cli.doctor",
     }
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: crowdmod {" + ",".join(commands) + "} [args...]")

@@ -1,0 +1,185 @@
+"""``crowdmod doctor`` — deployment environment self-check.
+
+No reference counterpart (its scripts fail at first use when the
+environment is wrong); on a TPU pod you want one command that verifies the
+whole stack before a long training run burns a slot.  Checks, in order:
+
+  1. JAX backend: visible devices, platform, default dtype behavior
+  2. Compile smoke: one tiny jitted matmul executes on the backend
+  3. Native runtime: g++ build (or fallback), bin/transpose parity probe
+  4. Shipped configs: every ``configs/**/*.yml`` passes schema validation
+  5. Checkpoint IO: orbax round-trip in a temp dir
+  6. Virtual-mesh sharding: an 8-way DP psum on a CPU mesh subprocess
+
+Exit code 0 = all checks pass (warnings allowed), 1 = at least one failure.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+OK, WARN, FAIL = "ok", "warn", "FAIL"
+
+
+def _result(name: str, status: str, detail: str, results: list) -> None:
+    results.append((name, status, detail))
+    pad = max(1, 28 - len(name))
+    print(f"  {name}{' ' * pad}[{status}] {detail}", flush=True)
+
+
+def check_backend(results):
+    import jax
+
+    try:
+        devs = jax.devices()
+        platform = jax.default_backend()
+        detail = f"{platform}, {len(devs)} device(s): {devs[0].device_kind}"
+        _result("jax backend", OK, detail, results)
+    except Exception as e:  # noqa: BLE001 — report, don't crash the doctor
+        _result("jax backend", FAIL, repr(e), results)
+
+
+def check_compile(results):
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        t0 = time.time()
+        out = jax.jit(lambda a, b: (a @ b).sum())(
+            jnp.ones((128, 128), jnp.bfloat16), jnp.ones((128, 128), jnp.bfloat16)
+        )
+        val = float(out)
+        dt = time.time() - t0
+        status = OK if val == 128.0 * 128 * 128 else FAIL
+        _result("compile smoke", status, f"bf16 matmul in {dt:.1f}s", results)
+    except Exception as e:  # noqa: BLE001
+        _result("compile smoke", FAIL, repr(e), results)
+
+
+def check_native(results):
+    import numpy as np
+
+    from crowdmod_tpu import native
+
+    try:
+        available = native.native_available()
+        a = np.arange(2 * 3 * 4 * 5 * 6, dtype=np.float32).reshape(2, 3, 4, 5, 6)
+        out = native.transpose_to_native(a)
+        ref = np.transpose(a, (0, 4, 2, 3, 1))
+        if not np.array_equal(out, ref):
+            _result("native runtime", FAIL, "transpose parity mismatch", results)
+        elif available:
+            _result("native runtime", OK, "C++ library built, parity probe passes",
+                    results)
+        else:
+            _result("native runtime", WARN,
+                    "no toolchain — numpy fallbacks active (slower ETL)", results)
+    except Exception as e:  # noqa: BLE001
+        _result("native runtime", FAIL, repr(e), results)
+
+
+def check_configs(results):
+    import pathlib
+
+    from crowdmod_tpu.config import load_config
+    from crowdmod_tpu.config.validate import validate_config
+
+    repo = pathlib.Path(__file__).resolve().parents[2]
+    bad = []
+    n = 0
+    for yml in sorted((repo / "configs").rglob("*.yml")):
+        if yml.name.endswith("_datafiles.yml"):
+            continue
+        n += 1
+        problems = validate_config(load_config(yml))
+        if problems:
+            bad.append(f"{yml.name}: {problems[0]}")
+    if not n:
+        _result("shipped configs", WARN, "no configs/ directory found", results)
+    elif bad:
+        _result("shipped configs", FAIL, "; ".join(bad[:3]), results)
+    else:
+        _result("shipped configs", OK, f"{n} configs validate", results)
+
+
+def check_checkpoint_io(results):
+    import jax.numpy as jnp
+
+    from crowdmod_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            target = os.path.join(d, "doctor_probe")
+            params = {"w": jnp.arange(4.0)}
+            save_checkpoint(target, params, metadata={"probe": True})
+            back, meta = load_checkpoint(target)
+            ok = bool((back["w"] == params["w"]).all()) and meta.get("probe")
+            _result("checkpoint io", OK if ok else FAIL,
+                    "orbax save/restore round-trip", results)
+    except Exception as e:  # noqa: BLE001
+        _result("checkpoint io", FAIL, repr(e), results)
+
+
+def check_virtual_mesh(results):
+    """8-device DP sharding in a subprocess (own XLA_FLAGS), like CI."""
+    import subprocess
+
+    code = (
+        "import os;"
+        "os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')"
+        "+' --xla_force_host_platform_device_count=8';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import numpy as np;"
+        "from jax.sharding import Mesh, NamedSharding, PartitionSpec as P;"
+        "mesh=Mesh(np.array(jax.devices()).reshape(8), ('data',));"
+        "x=jax.device_put(np.ones((8,4)), NamedSharding(mesh, P('data')));"
+        "s=jax.jit(lambda v: v.sum())(x);"
+        "assert float(s)==32.0;"
+        "print('mesh ok')"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=300,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        if proc.returncode == 0 and "mesh ok" in proc.stdout:
+            _result("virtual 8-mesh", OK, "DP sharding compiles + executes",
+                    results)
+        else:
+            _result("virtual 8-mesh", FAIL,
+                    (proc.stderr or proc.stdout).strip()[-120:], results)
+    except Exception as e:  # noqa: BLE001
+        _result("virtual 8-mesh", FAIL, repr(e), results)
+
+
+def run(argv: list[str] | None = None) -> int:
+    from crowdmod_tpu.cli import common_parser
+
+    p = common_parser("Environment self-check for crowdmod deployments.")
+    p.add_argument("--skip-mesh", action="store_true",
+                   help="Skip the subprocess virtual-mesh check (fastest).")
+    args = p.parse_args(argv)
+
+    print("crowdmod doctor", flush=True)
+    results: list = []
+    check_backend(results)
+    check_compile(results)
+    check_native(results)
+    check_configs(results)
+    check_checkpoint_io(results)
+    if not args.skip_mesh:
+        check_virtual_mesh(results)
+
+    failed = [r for r in results if r[1] == FAIL]
+    warned = [r for r in results if r[1] == WARN]
+    print(f"{len(results) - len(failed) - len(warned)} ok, "
+          f"{len(warned)} warnings, {len(failed)} failures")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(run())

@@ -68,6 +68,17 @@ def test_cli_dispatch_help(capsys):
     assert cli_main(["bogus"]) == 2
 
 
+def test_cli_doctor(capsys):
+    """Doctor: every check passes in the test environment (the virtual-mesh
+    subprocess check is exercised by the dedicated flag-less CI run; here we
+    skip it to keep the test fast)."""
+    rc = cli_main(["doctor", "--skip-mesh"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "0 failures" in out
+    assert "compile smoke" in out and "checkpoint io" in out
+
+
 def test_sweep_space_and_overrides():
     from crowdmod_tpu.cli.sweep import sample_trial, sweep_space, trial_overrides
 
