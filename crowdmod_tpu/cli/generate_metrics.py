@@ -28,6 +28,9 @@ def build_parser():
     p.add_argument("--batches-to-use", type=int, default=1)
     p.add_argument("--model-sample-to-load", type=str, default="000")
     p.add_argument("--output-dir", type=str, default=None)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="Batch-parallel sampling over all visible devices "
+                        "(the repeated-past protocol shards cleanly).")
     return p
 
 
@@ -50,7 +53,16 @@ def run(argv=None) -> int:
     if chunk is None:
         chunk = cfg.METRICS.get("CHUNK_REPD_PAST_SEQ", 20)
 
-    trainer = Trainer(cfg, args.arch, seed=args.seed)
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from crowdmod_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=jax.device_count())
+        logging.info("batch-parallel sampling over %d devices",
+                     jax.device_count())
+    trainer = Trainer(cfg, args.arch, mesh=mesh, seed=args.seed)
     tag = args.model_sample_to_load
     path = os.path.join(
         cfg.DATA_FS.SAVE_DIR, ckpt.checkpoint_name(cfg, args.arch, tag)

@@ -34,6 +34,8 @@ def build_parser():
     p.add_argument("--model-sample-to-load", type=str, default="000",
                    help="Checkpoint epoch tag; 000 = best-loss model.")
     p.add_argument("--output-dir", type=str, default=None)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="Batch-parallel sampling over all visible devices.")
     return p
 
 
@@ -58,7 +60,14 @@ def run(argv=None) -> int:
         os.path.join(cfg.DATA_FS.OUTPUT_DIR, "logs", "genSamples.log")
     )
 
-    trainer = Trainer(cfg, args.arch, seed=args.seed)
+    mesh = None
+    if args.data_parallel:
+        from crowdmod_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=jax.device_count())
+        logging.info("batch-parallel sampling over %d devices",
+                     jax.device_count())
+    trainer = Trainer(cfg, args.arch, mesh=mesh, seed=args.seed)
     tag = args.model_sample_to_load
     path = os.path.join(
         cfg.DATA_FS.SAVE_DIR, ckpt.checkpoint_name(cfg, args.arch, tag)

@@ -115,6 +115,7 @@ class Trainer:
 
         self.state: TrainState | None = None
         self._train_step = None
+        self._mesh_sample = None
 
     # ------------------------------------------------------------------
     # Setup
@@ -419,6 +420,14 @@ class Trainer:
             # EMA enabled but checkpoint predates it: seed from the weights
             # (copied — params and ema share a donated state pytree).
             ema = jax.tree.map(jnp.copy, params)
+        if self.mesh is not None:
+            # Orbax restores to the default device; re-apply the mesh layout
+            # so sampling/eval run sharded without an implicit reshard.
+            from crowdmod_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, self.mesh)
+            if ema is not None:
+                ema = shard_params(ema, self.mesh)
         self.state = self.state.replace(params=params, ema_params=ema)
         return meta
 
@@ -432,13 +441,56 @@ class Trainer:
         st = self.state
         return st.ema_params if st.ema_params is not None else st.params
 
-    def _denoise_fn(self):
-        params = self._sample_params()
+    def _denoise_fn(self, params=None):
+        if params is None:
+            params = self._sample_params()
         return lambda x, t, c: self.model.apply(params, x, t, c)
 
     def sample(self, past: jnp.ndarray, key, *, history: bool = False):
         """Generate future blocks conditioned on ``past`` with the family's
-        configured sampler; returns ``(B, F, H, W, C)``."""
+        configured sampler; returns ``(B, F, H, W, C)``.
+
+        Under a mesh, sampling is batch-parallel: ``past`` is sharded over
+        the ``data`` axis and the whole reverse chain runs as one jitted
+        program with sharded outputs (the NSAMPLES×chunk metric protocol is
+        embarrassingly parallel).  The ``history`` variant (viz-only, small
+        batches) stays on the single-program path.
+        """
+        if self.mesh is not None and not history:
+            from crowdmod_tpu.parallel.mesh import shard_batch
+
+            n = past.shape[0]
+            n_data = self.mesh.shape["data"]
+            pad = (-n) % n_data
+            if pad:
+                # Round up to the data axis by repeating the last row; the
+                # extra samples are dropped after the sharded program runs.
+                past = jnp.concatenate(
+                    [past, jnp.repeat(past[-1:], pad, axis=0)]
+                )
+            past = shard_batch(past, self.mesh)
+            out = self._mesh_sample_fn()(self._sample_params(), past, key)
+            return out[:n] if pad else out
+        return self._sample_impl(past, key, history=history)
+
+    def _mesh_sample_fn(self):
+        """Cached jitted sampler with batch-sharded output; params are an
+        explicit argument so EMA/raw updates are never baked in as
+        constants."""
+        if self._mesh_sample is None:
+            from crowdmod_tpu.parallel.mesh import batch_sharding
+
+            self._mesh_sample = jax.jit(
+                lambda params, past, key: self._sample_impl(
+                    past, key, params=params
+                ),
+                out_shardings=batch_sharding(self.mesh),
+            )
+        return self._mesh_sample
+
+    def _sample_impl(
+        self, past: jnp.ndarray, key, *, history: bool = False, params=None
+    ):
         cfg = self.cfg
         p, f, h, w = self._grid_shapes()
         n = past.shape[0]
@@ -449,7 +501,7 @@ class Trainer:
             if node.SAMPLER == "DDIM":
                 taus = ddim_tau_schedule(node.TIMESTEPS, node.DDIM_DIVIDER)
                 return ddim_sample(
-                    self._denoise_fn(), self.sched, past, key, shape, taus,
+                    self._denoise_fn(params), self.sched, past, key, shape, taus,
                     sigma=node.SIGMA, guidance=node.GUIDANCE,
                     lambda_guidance=node.get("LAMBDA_GUIDANCE", 0.0),
                     history=history,
@@ -460,13 +512,13 @@ class Trainer:
                 from crowdmod_tpu.models.diffusion import dpm_solver_sample
 
                 return dpm_solver_sample(
-                    self._denoise_fn(), self.sched, past, key, shape,
+                    self._denoise_fn(params), self.sched, past, key, shape,
                     steps=node.get("DPM_STEPS", 20), history=history,
                 )
             if node.SAMPLER != "DDPM":
                 raise ValueError(f"unknown DDPM sampler {node.SAMPLER!r}")
             return ddpm_sample(
-                self._denoise_fn(), self.sched, past, key, shape,
+                self._denoise_fn(params), self.sched, past, key, shape,
                 guidance=node.GUIDANCE,
                 lambda_guidance=node.get("LAMBDA_GUIDANCE", 0.0),
                 history=history,
@@ -483,14 +535,15 @@ class Trainer:
                 )
             steps = getattr(node.INTEGRATOR_STEPS, node.INTEGRATOR.upper())
             return integrator(
-                self._denoise_fn(), past, key, shape,
+                self._denoise_fn(params), past, key, shape,
                 steps=steps, time_max_pos=node.TIME_MAX_POS,
             )
 
         # ConvRNN: deterministic rollout; exp() the log-space channels
         # (reference convRNN.py:223-231).
         pred = self.model.apply(
-            self._sample_params(), past, future_len=f, teacher_forcing=False
+            self._sample_params() if params is None else params,
+            past, future_len=f, teacher_forcing=False,
         )
         out = pred
         for chd in (0, 3):
