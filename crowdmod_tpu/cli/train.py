@@ -32,6 +32,12 @@ def build_parser():
         "--data-parallel", action="store_true",
         help="Shard the batch over all visible devices via a 1-D mesh.",
     )
+    p.add_argument(
+        "--fsdp", action="store_true",
+        help="With --data-parallel: also shard parameters, optimizer state "
+             "and EMA over the data axis (ZeRO-3) for models too large to "
+             "replicate per chip.",
+    )
     return p
 
 
@@ -57,8 +63,11 @@ def run(argv=None) -> int:
 
         mesh = make_mesh(data=jax.device_count())
         logging.info("data-parallel over %d devices", jax.device_count())
+    elif args.fsdp:
+        raise SystemExit("--fsdp requires --data-parallel")
 
     trainer = Trainer(cfg, args.arch, mesh=mesh, run_dir=args.run_dir,
+                      param_sharding="fsdp" if args.fsdp else "tp",
                       seed=args.seed)
     if args.resume and trainer.resume_from_abort():
         logging.info("resumed from emergency checkpoint")

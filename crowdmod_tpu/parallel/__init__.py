@@ -1,3 +1,7 @@
 from crowdmod_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from crowdmod_tpu.parallel.sharding import fsdp_spec, param_spec, shard_params
 
-__all__ = ["make_mesh", "shard_batch", "replicate"]
+__all__ = [
+    "make_mesh", "shard_batch", "replicate",
+    "fsdp_spec", "param_spec", "shard_params",
+]

@@ -62,6 +62,7 @@ class Trainer:
         mprops_count: int | None = None,
         *,
         mesh=None,
+        param_sharding: str = "tp",
         run_dir: str | None = None,
         compute_dtype=None,
         seed: int = 42,
@@ -86,6 +87,9 @@ class Trainer:
             cfg, arch, self.mprops_count, dtype=compute_dtype
         )
         self.mesh = mesh
+        # "tp" (replicate + channel-shard large kernels over "model") or
+        # "fsdp" (also shard params/opt-state/EMA over "data", ZeRO-3).
+        self.param_sharding = param_sharding
         self.seed = seed
         self.run_dir = run_dir or os.path.join(
             cfg.DATA_FS.OUTPUT_DIR, "runs", arch
@@ -208,7 +212,7 @@ class Trainer:
         if self.mesh is not None:
             from crowdmod_tpu.parallel.sharding import shard_params
 
-            params = shard_params(params, self.mesh)
+            params = shard_params(params, self.mesh, mode=self.param_sharding)
         ema_decay = float(
             _solver_node(self.cfg, self.arch).get("EMA_DECAY", 0.0)
         )
@@ -425,9 +429,9 @@ class Trainer:
             # so sampling/eval run sharded without an implicit reshard.
             from crowdmod_tpu.parallel.sharding import shard_params
 
-            params = shard_params(params, self.mesh)
+            params = shard_params(params, self.mesh, mode=self.param_sharding)
             if ema is not None:
-                ema = shard_params(ema, self.mesh)
+                ema = shard_params(ema, self.mesh, mode=self.param_sharding)
         self.state = self.state.replace(params=params, ema_params=ema)
         return meta
 
