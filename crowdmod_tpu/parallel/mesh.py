@@ -24,7 +24,8 @@ def make_mesh(
 
     ``data=None`` uses all remaining devices on the data axis.
     """
-    devices = list(devices if devices is not None else jax.devices())
+    explicit = devices is not None
+    devices = list(devices if explicit else jax.devices())
     n = len(devices)
     if data is None:
         if n % model:
@@ -32,6 +33,19 @@ def make_mesh(
         data = n // model
     if data * model > n:
         raise ValueError(f"mesh {data}x{model} needs {data * model} devices, have {n}")
+    if not explicit and data * model == n:
+        # ICI-aware assignment on real pods: lay the mesh out so that the
+        # "model" axis (all-gather/reduce-scatter per layer) maps to
+        # physically adjacent chips on the torus, instead of reshaping the
+        # arbitrary enumeration order.  Falls back below for device subsets
+        # (mesh_utils requires all devices) and exotic topologies.
+        try:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_device_mesh((data, model), devices)
+            return Mesh(grid, axis_names=("data", "model"))
+        except (ValueError, NotImplementedError, AssertionError):
+            pass
     grid = np.array(devices[: data * model]).reshape(data, model)
     return Mesh(grid, axis_names=("data", "model"))
 
