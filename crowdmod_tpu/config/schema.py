@@ -214,6 +214,9 @@ class TPUSchema:
     )
     MESH: MeshSchema = MeshSchema()
     DONATE_BUFFERS: bool = True
+    # Per-block gradient rematerialization (jax.checkpoint) for
+    # activation-memory-bound training; off at reference scale.
+    REMAT: bool = False
 
 
 @dataclass(frozen=True)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from crowdmod_tpu.models.backbones.embeddings import TimestepEmbedding
+from crowdmod_tpu.models.backbones.remat import maybe_remat
 from crowdmod_tpu.ops.attention import MultiHeadAttention
 
 _xavier = nn.initializers.xavier_uniform()
@@ -112,7 +113,7 @@ class DiTBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, c: jnp.ndarray, *, deterministic: bool = True
+        self, x: jnp.ndarray, c: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
         sh1, sc1, g1, sh2, sc2, g2 = AdaLNModulation(6, dtype=self.dtype)(c)
         h = modulate(_layer_norm(x, self.dtype), sh1, sc1)
@@ -145,7 +146,7 @@ class DiTBlockFactorized(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, c: jnp.ndarray, *, deterministic: bool = True
+        self, x: jnp.ndarray, c: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
         qs = self.query_slot_start
         (sh1, sc1, g1, sh2, sc2, g2, sh3, sc3, g3) = AdaLNModulation(
@@ -255,6 +256,9 @@ class _DiTBase(nn.Module):
     condition: str = "Past"
     t_max: int = 32
     dtype: jnp.dtype = jnp.float32
+    # Per-block jax.checkpoint for activation-memory-bound training
+    # (models/backbones/remat.py); same math, fusion-level tolerance.
+    remat: bool = False
 
     def _condition_vec(self, t: jnp.ndarray) -> jnp.ndarray:
         emb = TimestepEmbedding(
@@ -307,12 +311,13 @@ class DiT2D(_DiTBase):
         ns = tokens.shape[2]
         tokens = tokens.reshape(b, t_total * ns, self.hidden_size)
 
+        block_cls = maybe_remat(DiTBlock, self.remat)
         for i in range(self.depth):
-            tokens = DiTBlock(
+            tokens = block_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 dropout_rate=self.dropout_rate, dtype=self.dtype,
                 name=f"block_{i}",
-            )(tokens, c, deterministic=deterministic)
+            )(tokens, c, deterministic)
 
         out_feat = self.out_channels * self.patch_size**2
         tokens = FinalLayer(out_feat, dtype=self.dtype, name="final")(tokens, c)
@@ -347,12 +352,13 @@ class DiT4DJoint(_DiTBase):
         tokens = self._pos_embed(tokens, self.t_max // self.t_patch_size)
         tokens = tokens.reshape(b, tp * ns, self.hidden_size)
 
+        block_cls = maybe_remat(DiTBlock, self.remat)
         for i in range(self.depth):
-            tokens = DiTBlock(
+            tokens = block_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 dropout_rate=self.dropout_rate, dtype=self.dtype,
                 name=f"block_{i}",
-            )(tokens, c, deterministic=deterministic)
+            )(tokens, c, deterministic)
 
         out_feat = self.t_patch_size * self.out_channels * self.patch_size**2
         tokens = FinalLayer(out_feat, dtype=self.dtype, name="final")(tokens, c)
@@ -404,15 +410,16 @@ class DiT4DFactorized(_DiTBase):
 
         # First future temporal slot (reference DiT4D_V4.py:268).
         query_slot_start = self.past_len // self.t_patch_size
+        block_cls = maybe_remat(DiTBlockFactorized, self.remat)
         for i in range(self.depth):
-            tokens = DiTBlockFactorized(
+            tokens = block_cls(
                 num_heads=self.num_heads,
                 query_slot_start=query_slot_start,
                 mlp_ratio=self.mlp_ratio,
                 dropout_rate=self.dropout_rate,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(tokens, c, deterministic=deterministic)
+            )(tokens, c, deterministic)
 
         out_feat = self.t_patch_size * self.out_channels * self.patch_size**2
         tokens = FinalLayer(out_feat, dtype=self.dtype, name="final")(tokens, c)

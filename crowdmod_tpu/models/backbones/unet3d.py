@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from crowdmod_tpu.models.backbones.embeddings import TimestepEmbedding
+from crowdmod_tpu.models.backbones.remat import maybe_remat
 from crowdmod_tpu.ops.attention import MultiHeadAttention
 from crowdmod_tpu.ops.conv3d import Conv3DSame
 from crowdmod_tpu.ops.norm import GroupNormSiLU
@@ -59,7 +60,7 @@ class ResnetBlock3D(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, temb: jnp.ndarray, *, deterministic: bool = True
+        self, x: jnp.ndarray, temb: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
         conv = lambda name: Conv3DSame(
             self.out_channels, dtype=self.dtype, name=name,
@@ -133,6 +134,9 @@ class UNet3D(nn.Module):
     time_multiple: int = 4
     condition: str = "Past"
     dtype: jnp.dtype = jnp.float32
+    # Per-resblock jax.checkpoint for activation-memory-bound training
+    # (models/backbones/remat.py); same math, fusion-level tolerance.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -156,7 +160,8 @@ class UNet3D(nn.Module):
             dim=self.base_channels, exp_dim=temb_dim, dtype=self.dtype
         )(t)
 
-        resblock = lambda ch, attn, name: ResnetBlock3D(
+        block_cls = maybe_remat(ResnetBlock3D, self.remat)
+        resblock = lambda ch, attn, name: block_cls(
             out_channels=ch, dropout_rate=self.dropout_rate,
             apply_attention=attn, dtype=self.dtype, name=name,
         )
@@ -169,15 +174,15 @@ class UNet3D(nn.Module):
             ch = self.base_channels * self.base_channels_multiples[level]
             for i in range(self.num_res_blocks):
                 h = resblock(ch, self.apply_attention[level], f"enc_{level}_{i}")(
-                    h, temb, deterministic=deterministic
+                    h, temb, deterministic
                 )
                 skips.append(h)
             if level != num_levels - 1:
                 h = DownSample3D(h.shape[-1], dtype=self.dtype, name=f"down_{level}")(h)
                 skips.append(h)
 
-        h = resblock(h.shape[-1], True, "mid_0")(h, temb, deterministic=deterministic)
-        h = resblock(h.shape[-1], False, "mid_1")(h, temb, deterministic=deterministic)
+        h = resblock(h.shape[-1], True, "mid_0")(h, temb, deterministic)
+        h = resblock(h.shape[-1], False, "mid_1")(h, temb, deterministic)
 
         for level in reversed(range(num_levels)):
             ch = self.base_channels * self.base_channels_multiples[level]
@@ -185,7 +190,7 @@ class UNet3D(nn.Module):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = resblock(ch, self.apply_attention[level], f"dec_{level}_{i}")(
-                    h, temb, deterministic=deterministic
+                    h, temb, deterministic
                 )
             if level != 0:
                 h = UpSample3D(h.shape[-1], dtype=self.dtype, name=f"up_{level}")(h)

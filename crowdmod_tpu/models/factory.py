@@ -32,6 +32,7 @@ def build_backbone(
     dtype: jnp.dtype = jnp.float32,
 ) -> nn.Module:
     """Instantiate the denoiser/velocity-predictor backbone for ``arch``."""
+    remat = bool(cfg.get_path("TPU.REMAT", False))
     if arch in ("DDPM-UNet", "FM-UNet"):
         node = backbone_cfg(cfg, arch)
         return UNet3D(
@@ -44,6 +45,7 @@ def build_backbone(
             time_multiple=node.TIME_EMB_MULT,
             condition=node.CONDITION,
             dtype=dtype,
+            remat=remat,
         )
     if arch in ("DDPM-DiT", "FM-DiT"):
         # DiT family: registered in models/backbones/dit.py.
@@ -62,6 +64,7 @@ def build_backbone(
             dropout_rate=node.DROPOUT_RATE,
             time_multiple=node.TIME_EMB_MULT,
             dtype=dtype,
+            remat=remat,
         )
         if arch == "DDPM-DiT":
             # The reference's DDPM-DiT instantiates the factorized-attention

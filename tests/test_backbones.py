@@ -107,3 +107,54 @@ def test_factory_builds_reference_archs(atc_cfg):
         params = model.init(jax.random.PRNGKey(0), future, t, past)
         out = model.apply(params, future, t, past)
         assert out.shape == future.shape, arch
+
+
+def test_remat_numerical_equivalence():
+    """remat=True computes the same function: same param pytree, forward and
+    grads equal to float-fusion tolerance (remat regions shift XLA fusion
+    boundaries, so exact bit-parity is not guaranteed)."""
+    import numpy as np
+
+    future, t, past = _data(8, 12)
+    kw = dict(
+        out_channels=3, base_channels=8, base_channels_multiples=(1, 2),
+        apply_attention=(False, True), dropout_rate=0.0,
+    )
+    for make in [
+        lambda r: UNet3D(remat=r, **kw),
+        lambda r: DiT4DFactorized(
+            grid_rows=8, grid_cols=12, t_patch_size=4, remat=r, **DIT_KW
+        ),
+    ]:
+        base, rm = make(False), make(True)
+        params = base.init(jax.random.PRNGKey(1), future, t, past)
+        # Identical param structure: remat params load into the plain model.
+        params_rm = rm.init(jax.random.PRNGKey(1), future, t, past)
+        assert jax.tree.structure(params) == jax.tree.structure(params_rm)
+
+        out = base.apply(params, future, t, past)
+        out_rm = rm.apply(params, future, t, past)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(out_rm), rtol=1e-3, atol=1e-4
+        )
+
+        def loss(model):
+            return lambda p: jnp.sum(
+                model.apply(p, future, t, past) ** 2
+            )
+
+        g = jax.grad(loss(base))(params)
+        g_rm = jax.grad(loss(rm))(params)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_rm)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
+
+def test_factory_remat_plumbing(atc_cfg):
+    from crowdmod_tpu.models.factory import build_backbone
+
+    cfg = atc_cfg.updated({"TPU": {"REMAT": True}})
+    for arch in ["DDPM-UNet", "DDPM-DiT", "FM-DiT"]:
+        assert build_backbone(cfg, arch, 3).remat is True, arch
+        assert build_backbone(atc_cfg, arch, 3).remat is False, arch
