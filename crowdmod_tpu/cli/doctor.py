@@ -9,7 +9,8 @@ whole stack before a long training run burns a slot.  Checks, in order:
   3. Native runtime: g++ build (or fallback), bin/transpose parity probe
   4. Shipped configs: every ``configs/**/*.yml`` passes schema validation
   5. Checkpoint IO: orbax round-trip in a temp dir
-  6. Virtual-mesh sharding: an 8-way DP psum on a CPU mesh subprocess
+  6. Virtual-mesh sharding: 8-way DP reduction + FSDP param sharding on a
+     CPU mesh subprocess (the library's own make_mesh/shard_params)
 
 Exit code 0 = all checks pass (warnings allowed), 1 = at least one failure.
 """
@@ -127,27 +128,41 @@ def check_virtual_mesh(results):
     """8-device DP sharding in a subprocess (own XLA_FLAGS), like CI."""
     import subprocess
 
+    import crowdmod_tpu
+
+    pkg_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(crowdmod_tpu.__file__)
+    ))
     code = (
         "import os;"
         "os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')"
         "+' --xla_force_host_platform_device_count=8';"
         "import jax; jax.config.update('jax_platforms','cpu');"
         "import numpy as np;"
-        "from jax.sharding import Mesh, NamedSharding, PartitionSpec as P;"
-        "mesh=Mesh(np.array(jax.devices()).reshape(8), ('data',));"
+        "from jax.sharding import NamedSharding, PartitionSpec as P;"
+        "from crowdmod_tpu.parallel import make_mesh, shard_params;"
+        "mesh=make_mesh();"
         "x=jax.device_put(np.ones((8,4)), NamedSharding(mesh, P('data')));"
         "s=jax.jit(lambda v: v.sum())(x);"
         "assert float(s)==32.0;"
+        # FSDP: a 'param' sharded over the data axis, all-gathered at use.
+        "p=shard_params({'w': np.ones((4,16))}, mesh, min_size=1, mode='fsdp');"
+        "assert 'data' in p['w'].sharding.spec;"
+        "y=jax.jit(lambda p,x: x @ p['w'])(p,x);"
+        "assert y.shape==(8,16) and float(y.sum())==8*16*4;"
         "print('mesh ok')"
     )
     try:
         proc = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
             timeout=300,
-            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": pkg_root + os.pathsep
+                 + os.environ.get("PYTHONPATH", "")},
         )
         if proc.returncode == 0 and "mesh ok" in proc.stdout:
-            _result("virtual 8-mesh", OK, "DP sharding compiles + executes",
+            _result("virtual 8-mesh", OK,
+                    "DP batch sharding + FSDP param sharding execute",
                     results)
         else:
             _result("virtual 8-mesh", FAIL,

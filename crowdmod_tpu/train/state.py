@@ -71,21 +71,49 @@ LossFn = Callable[..., jnp.ndarray]
 # loss_fn(params, batch, key) -> scalar loss
 
 
-def make_train_step(loss_fn: LossFn, donate: bool = True):
+def state_shardings(state: TrainState, mesh):
+    """(state-sharding pytree, replicated-scalar sharding) for pinning a
+    train/epoch step's ``out_shardings`` under a mesh.
+
+    Without the pin, jit's sharding propagation is free to re-shard the
+    updated state (observed: replicated biases coming back data-sharded),
+    which drifts the params away from the intended TP/FSDP layout and
+    forces a recompile on the next step whose input shardings changed.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def shard_of(x):
+        # Leaves created eagerly off-mesh (e.g. the step counter's
+        # SingleDeviceSharding) are pinned replicated on the mesh.
+        s = x.sharding
+        return s if isinstance(s, NamedSharding) else NamedSharding(mesh, P())
+
+    return (
+        jax.tree.map(shard_of, state),
+        NamedSharding(mesh, P()),
+    )
+
+
+def make_train_step(loss_fn: LossFn, donate: bool = True,
+                    out_shardings=None):
     """Build a jitted ``(state, batch, key) -> (state, loss)`` update step.
 
     The state is donated so parameter/optimizer buffers update in place on
-    device (no extra HBM copies in the hot loop).
+    device (no extra HBM copies in the hot loop).  ``out_shardings`` (from
+    :func:`state_shardings`) pins the updated state to its input layout
+    under a mesh.
     """
 
     def step(state: TrainState, batch, key):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
         return state.apply_gradients(grads), loss
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   out_shardings=out_shardings)
 
 
-def make_epoch_step(loss_fn: LossFn, donate: bool = True):
+def make_epoch_step(loss_fn: LossFn, donate: bool = True,
+                    out_shardings=None):
     """Build a jitted whole-epoch update: ``lax.scan`` of the train step over
     a leading batches axis.
 
@@ -106,4 +134,5 @@ def make_epoch_step(loss_fn: LossFn, donate: bool = True):
 
         return jax.lax.scan(body, state, (batches, keys))
 
-    return jax.jit(epoch, donate_argnums=(0,) if donate else ())
+    return jax.jit(epoch, donate_argnums=(0,) if donate else (),
+                   out_shardings=out_shardings)

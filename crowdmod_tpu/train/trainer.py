@@ -119,6 +119,7 @@ class Trainer:
 
         self.state: TrainState | None = None
         self._train_step = None
+        self._state_out_shardings = None
         self._mesh_sample = None
 
     # ------------------------------------------------------------------
@@ -221,7 +222,15 @@ class Trainer:
                 f"TRAIN.EMA_DECAY must be in [0, 1); got {ema_decay}"
             )
         self.state = TrainState.create(params, self.tx, ema_decay=ema_decay)
-        self._train_step = make_train_step(self._loss_fn(), donate=True)
+        self._state_out_shardings = None
+        if self.mesh is not None:
+            from crowdmod_tpu.train.state import state_shardings
+
+            self._state_out_shardings = state_shardings(self.state, self.mesh)
+        self._train_step = make_train_step(
+            self._loss_fn(), donate=True,
+            out_shardings=self._state_out_shardings,
+        )
         return self
 
     # ------------------------------------------------------------------
@@ -258,7 +267,10 @@ class Trainer:
         if scan_epoch is None:
             scan_epoch = jax.default_backend() == "tpu"
         epoch_step = (
-            make_epoch_step(self._loss_fn(), donate=True) if scan_epoch
+            make_epoch_step(
+                self._loss_fn(), donate=True,
+                out_shardings=self._state_out_shardings,
+            ) if scan_epoch
             else None
         )
         if scan_epoch and self.mesh is not None:

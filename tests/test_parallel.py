@@ -297,13 +297,15 @@ def test_trainer_fsdp_fit_checkpoint_roundtrip(smoke_cfg, tmp_path):
     tr = Trainer(
         cfg, "DDPM-UNet", mesh=mesh, param_sharding="fsdp",
         run_dir=str(tmp_path / "run"),
-    )
+    ).setup()
+    specs0 = [x.sharding.spec for x in jax.tree.leaves(tr.state.params)]
+    assert any("data" in s for s in specs0), "trainer params not FSDP-sharded"
     hist = tr.fit(ds, ds)
     assert np.isfinite(hist["train_loss"]).all()
-    specs = {
-        x.sharding.spec for x in jax.tree.leaves(tr.state.params)
-    }
-    assert any("data" in s for s in specs), "trainer params not FSDP-sharded"
+    # Layout stability: the pinned out_shardings keep every leaf exactly
+    # where setup placed it (no compiler re-sharding drift across steps).
+    specs1 = [x.sharding.spec for x in jax.tree.leaves(tr.state.params)]
+    assert specs0 == specs1
 
     import os
 
