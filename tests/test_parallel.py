@@ -281,6 +281,77 @@ def test_epoch_scan_dp_matches_per_batch(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_epoch_scan_fsdp_matches_per_batch():
+    """Whole-epoch lax.scan with FSDP-sharded params/opt-state (the real-pod
+    training path) matches the per-batch FSDP path, and the pinned
+    out_shardings keep the scanned state on its setup layout."""
+    from crowdmod_tpu.parallel.sharding import shard_params
+    from crowdmod_tpu.train.state import make_epoch_step, state_shardings
+
+    model = UNet3D(
+        out_channels=C, base_channels=16, base_channels_multiples=(1, 2),
+        apply_attention=(False, False), dropout_rate=0.0,
+    )
+    n_batches, batch = 3, 8
+    data = jnp.asarray(synthetic_walkers(n_batches * batch, H, W, Pst + F))
+    past, future = data[:, :Pst], data[:, Pst:]
+    params = model.init(
+        jax.random.PRNGKey(0), future[:batch], jnp.zeros((batch,)),
+        past[:batch],
+    )
+    sched = linear_schedule(50)
+
+    def loss_fn(p, b, key):
+        past_b, future_b = b
+        return ddpm_loss(
+            lambda x, t, c: model.apply(p, x, t, c), sched, future_b, past_b,
+            key,
+        )
+
+    import optax
+
+    tx = optax.sgd(1e-3)  # see test_epoch_scan_dp_matches_per_batch
+    key = jax.random.PRNGKey(21)
+    mesh = make_mesh()
+    sharded = shard_params(params, mesh, min_size=1024, mode="fsdp")
+    assert any(
+        "data" in x.sharding.spec for x in jax.tree.leaves(sharded)
+    )
+
+    # Per-batch FSDP path.
+    state1 = TrainState.create(sharded, tx)
+    step = make_train_step(loss_fn, donate=False)
+    keys = jax.random.split(key, n_batches)
+    losses1 = []
+    for i in range(n_batches):
+        b = shard_batch(
+            (past[i * batch:(i + 1) * batch],
+             future[i * batch:(i + 1) * batch]), mesh,
+        )
+        state1, loss = step(state1, b, keys[i])
+        losses1.append(float(loss))
+
+    # Epoch-scan FSDP path with pinned out_shardings.
+    from jax.sharding import NamedSharding
+
+    stack = lambda a: a.reshape((n_batches, batch) + a.shape[1:])
+    stacked = jax.device_put(
+        (stack(past), stack(future)), NamedSharding(mesh, P(None, "data"))
+    )
+    state2 = TrainState.create(sharded, tx)
+    out_sh = state_shardings(state2, mesh)
+    specs0 = [x.sharding.spec for x in jax.tree.leaves(state2.params)]
+    epoch_step = make_epoch_step(loss_fn, donate=False, out_shardings=out_sh)
+    state2, losses2 = epoch_step(state2, stacked, key)
+
+    np.testing.assert_allclose(losses1, np.asarray(losses2), rtol=5e-5)
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    specs2 = [x.sharding.spec for x in jax.tree.leaves(state2.params)]
+    assert specs0 == specs2
+
+
 def test_trainer_fsdp_fit_checkpoint_roundtrip(smoke_cfg, tmp_path):
     """Full Trainer flow under FSDP: fit on the DP mesh with params/opt-state
     sharded over "data", checkpoint, reload (shardings reapplied), sample."""
