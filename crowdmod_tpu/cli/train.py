@@ -38,6 +38,12 @@ def build_parser():
              "and EMA over the data axis (ZeRO-3) for models too large to "
              "replicate per chip.",
     )
+    p.add_argument(
+        "--model-parallel", type=int, default=None, metavar="N",
+        help="With --data-parallel: tensor-parallel axis size (large "
+             "kernels channel-sharded over N chips); overrides "
+             "TPU.MESH.MODEL.",
+    )
     return p
 
 
@@ -57,14 +63,14 @@ def run(argv=None) -> int:
 
     mesh = None
     if args.data_parallel:
-        import jax
+        from crowdmod_tpu.parallel.mesh import mesh_from_config
 
-        from crowdmod_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(data=jax.device_count())
-        logging.info("data-parallel over %d devices", jax.device_count())
-    elif args.fsdp:
-        raise SystemExit("--fsdp requires --data-parallel")
+        mesh = mesh_from_config(cfg, args.model_parallel)
+        logging.info("mesh: %s", dict(mesh.shape))
+    elif args.fsdp or args.model_parallel:
+        raise SystemExit(
+            "--fsdp/--model-parallel require --data-parallel"
+        )
 
     trainer = Trainer(cfg, args.arch, mesh=mesh, run_dir=args.run_dir,
                       param_sharding="fsdp" if args.fsdp else "tp",

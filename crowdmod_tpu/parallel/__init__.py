@@ -1,7 +1,9 @@
-from crowdmod_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from crowdmod_tpu.parallel.mesh import (
+    make_mesh, mesh_from_config, shard_batch, replicate,
+)
 from crowdmod_tpu.parallel.sharding import fsdp_spec, param_spec, shard_params
 
 __all__ = [
-    "make_mesh", "shard_batch", "replicate",
+    "make_mesh", "mesh_from_config", "shard_batch", "replicate",
     "fsdp_spec", "param_spec", "shard_params",
 ]

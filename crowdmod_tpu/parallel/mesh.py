@@ -50,6 +50,22 @@ def make_mesh(
     return Mesh(grid, axis_names=("data", "model"))
 
 
+def mesh_from_config(cfg, model_override: int | None = None) -> Mesh:
+    """Build the mesh described by the config's ``TPU.MESH`` node.
+
+    ``MESH.DATA = -1`` (the default) puts all remaining devices on the data
+    axis; ``MESH.MODEL`` sets the tensor-parallel axis size.
+    ``model_override`` (e.g. a ``--model-parallel`` CLI flag) wins over the
+    config value.
+    """
+    model = int(
+        model_override if model_override is not None
+        else cfg.get_path("TPU.MESH.MODEL", 1)
+    )
+    data = int(cfg.get_path("TPU.MESH.DATA", -1))
+    return make_mesh(data=None if data <= 0 else data, model=max(model, 1))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis, replicate the rest."""
     return NamedSharding(mesh, P("data"))

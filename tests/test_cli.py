@@ -194,3 +194,38 @@ def test_cli_sweep_wandb_agent(workspace, monkeypatch):
     ]
     assert len(results) == 2
     assert any("train_loss" in d for d in logged)
+
+
+def test_cli_train_mesh_fsdp(workspace):
+    """train --data-parallel --model-parallel --fsdp builds the 4x2 mesh
+    from the flags (TPU.MESH override) and completes on the virtual mesh."""
+    ws = workspace
+    rc = train.run(
+        _common(ws) + ["--arch", "DDPM-UNet", "--data-parallel",
+                       "--model-parallel", "2", "--fsdp",
+                       "--run-dir", str(ws["tmp"] / "run_mesh")]
+    )
+    assert rc == 0
+    assert os.path.exists(ws["tmp"] / "run_mesh" / "losses.png")
+
+    # Flags without --data-parallel are a labeled error.
+    with pytest.raises(SystemExit, match="--data-parallel"):
+        train.run(_common(ws) + ["--arch", "DDPM-UNet", "--fsdp"])
+
+
+def test_mesh_from_config(smoke_cfg):
+    from crowdmod_tpu.parallel import mesh_from_config
+
+    m = mesh_from_config(smoke_cfg)
+    assert m.shape == {"data": 8, "model": 1}
+    m2 = mesh_from_config(smoke_cfg.updated({"TPU": {"MESH": {"MODEL": 2}}}))
+    assert m2.shape == {"data": 4, "model": 2}
+    m3 = mesh_from_config(
+        smoke_cfg.updated({"TPU": {"MESH": {"DATA": 2, "MODEL": 2}}})
+    )
+    assert m3.shape == {"data": 2, "model": 2}
+    # CLI override wins over the config value.
+    m4 = mesh_from_config(
+        smoke_cfg.updated({"TPU": {"MESH": {"MODEL": 2}}}), model_override=4
+    )
+    assert m4.shape == {"data": 2, "model": 4}
