@@ -101,6 +101,10 @@ def save_checkpoint(
     synchronously) before reading the checkpoint back.
     """
     directory = Path(directory).absolute()
+    # orbax creates the tree itself, but on the async path the metadata
+    # sidecar below is written from THIS thread, possibly before the
+    # background commit has made the parent — create it deterministically.
+    directory.parent.mkdir(parents=True, exist_ok=True)
     if async_save:
         _async_checkpointer().wait_until_finished()
     if directory.exists():
