@@ -96,6 +96,12 @@ def run(argv=None) -> int:
         subtitle=f"{args.arch} on {cfg.DATASET.NAME}",
         save_path=os.path.join(trainer.run_dir, "losses.png"),
     )
+    if history.get("aborted"):
+        logging.error(
+            "training ABORTED (NaN watchdog); checkpoints in %s are from "
+            "before the divergence", cfg.DATA_FS.SAVE_DIR,
+        )
+        return 1
     logging.info("training done; best checkpoints in %s", cfg.DATA_FS.SAVE_DIR)
     return 0
 

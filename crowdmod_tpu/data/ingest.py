@@ -247,11 +247,10 @@ def fixed_past_dataset(cfg: FrozenConfig, mprops_count: int = 4) -> WindowDatase
     """Fixed sampling set from ``PICKLE_DIR/4sampling/`` (dataset.py:233-252)."""
     d = Path(cfg.DATA_FS.PICKLE_DIR) / "4sampling"
     filename = sorted(os.listdir(d))[0]
-    with open(d / filename, "rb") as f:
-        arr = pickle.load(f)
-    native = np.ascontiguousarray(
-        np.transpose(np.asarray(arr, np.float32), (0, 4, 2, 3, 1))
-    )
+    # Same single-file loader as the streaming path: threaded native
+    # transpose + .cmb sidecar cache (keep the full channel set — _window_ds
+    # slices to mprops_count after optional velocity normalization).
+    native = load_pickle_native(str(d / filename))
     return _window_ds(cfg, native, mprops_count)
 
 

@@ -34,6 +34,34 @@ def _gather_windows(raw, seq_idx, t_idx, *, past_len: int, future_len: int):
     return win[:, :past_len], win[:, past_len:]
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "past_len", "future_len", "n_batches", "batch_size", "sharding"
+    ),
+)
+def _gather_epoch(
+    raw, seq_idx, t_idx, *, past_len: int, future_len: int,
+    n_batches: int, batch_size: int, sharding=None,
+):
+    """Gather + stack a whole epoch, optionally straight into a mesh layout.
+
+    With ``sharding`` (a hashable ``NamedSharding``, e.g. ``P(None, "data")``)
+    the constraint makes GSPMD produce each device's epoch shard locally —
+    the stacked ``(n_batches, B, ...)`` tensor is never materialized on a
+    single chip and never pays a post-hoc reshard pass (the windows overlap,
+    so the epoch tensor is ~window/stride times the raw data's size)."""
+    past, future = _gather_windows(
+        raw, seq_idx, t_idx, past_len=past_len, future_len=future_len
+    )
+    stack = lambda a: a.reshape((n_batches, batch_size) + a.shape[1:])
+    past, future = stack(past), stack(future)
+    if sharding is not None:
+        past = jax.lax.with_sharding_constraint(past, sharding)
+        future = jax.lax.with_sharding_constraint(future, sharding)
+    return past, future
+
+
 def window_indices(
     num_seqs: int, total_len: int, window_len: int, stride: int
 ) -> np.ndarray:
@@ -71,19 +99,25 @@ class WindowDataset:
         )
 
     def epoch_arrays(
-        self, batch_size: int, *, shuffle: bool = True, seed: int = 0
+        self, batch_size: int, *, shuffle: bool = True, seed: int = 0,
+        sharding=None,
     ):
         """One epoch as stacked ``(n_batches, batch, ...)`` past/future
         arrays — the input to a whole-epoch ``lax.scan``
-        (:func:`crowdmod_tpu.train.state.make_epoch_step`)."""
+        (:func:`crowdmod_tpu.train.state.make_epoch_step`).
+
+        Pass ``sharding`` (e.g. ``NamedSharding(mesh, P(None, "data"))``) to
+        gather the epoch directly into that layout for mesh training."""
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         n_full = len(order) // batch_size
-        sel = order[: n_full * batch_size]
-        past, future = self.gather(sel)
-        stack = lambda a: a.reshape((n_full, batch_size) + a.shape[1:])
-        return stack(past), stack(future)
+        sel = self.indices[order[: n_full * batch_size]]
+        return _gather_epoch(
+            self.raw, jnp.asarray(sel[:, 0]), jnp.asarray(sel[:, 1]),
+            past_len=self.past_len, future_len=self.future_len,
+            n_batches=n_full, batch_size=batch_size, sharding=sharding,
+        )
 
     def batches(
         self,

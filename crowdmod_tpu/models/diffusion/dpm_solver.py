@@ -41,6 +41,15 @@ def dpm_solver_sample(
     history: bool = False,
 ) -> jnp.ndarray:
     """Sample with DPM-Solver++(2M) in ``steps`` model evaluations."""
+    if not 2 <= steps <= sched.timesteps - 1:
+        # With more solver steps than discrete timesteps the rounded ladder
+        # repeats a timestep, h becomes 0 and r = h_prev/h divides by zero —
+        # every sample silently NaNs.  (steps ≥ timesteps also defeats the
+        # point of a fast solver; use the ancestral sampler instead.)
+        raise ValueError(
+            f"DPM_STEPS must be in [2, TIMESTEPS-1] = "
+            f"[2, {sched.timesteps - 1}]; got {steps}"
+        )
     b = sample_shape[0]
     x = jax.random.normal(key, sample_shape, dtype=jnp.float32)
 

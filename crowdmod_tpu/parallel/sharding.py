@@ -84,6 +84,11 @@ def shard_params(params, mesh: Mesh, min_size: int = 1 << 12,
         raise ValueError(f"unknown param-sharding mode {mode!r}")
 
     def place(x):
+        # Host scalars (e.g. the plateau-injected learning rate inside an
+        # optimizer state) have no shape — leave them as-is; jit treats
+        # them as replicated weak-typed constants.
+        if not hasattr(x, "ndim"):
+            return x
         return jax.device_put(x, NamedSharding(mesh, spec_of(x)))
 
     return jax.tree.map(place, params)

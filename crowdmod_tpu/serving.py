@@ -20,7 +20,7 @@ import logging
 import threading
 import time
 from collections import deque
-from concurrent.futures import Future
+from concurrent.futures import Future, TimeoutError as FuturesTimeoutError
 from dataclasses import dataclass
 
 import numpy as np
@@ -66,6 +66,13 @@ class Predictor:
         self.cfg = cfg
         self.arch = arch
         self.mesh = mesh
+        if mesh is not None:
+            # Batches are sharded over the "data" axis, so every compiled
+            # bucket must be divisible by it — round buckets up (a bucket of
+            # 1 on an 8-chip mesh becomes 8; the padding rows are dropped
+            # from the output like any other bucket padding).
+            n_data = mesh.shape["data"]
+            batch_buckets = {-(-b // n_data) * n_data for b in batch_buckets}
         self.batch_buckets = tuple(sorted(batch_buckets))
         self._trainer = Trainer(cfg, arch, mesh=mesh, seed=seed)
         self._trainer.load(checkpoint_path)
@@ -251,7 +258,10 @@ class BatchingQueue:
         fut = self.submit(past, key)
         try:
             return fut.result(timeout)
-        except TimeoutError:
+        except (TimeoutError, FuturesTimeoutError):
+            # Both names: concurrent.futures.TimeoutError only became an
+            # alias of the builtin in Python 3.11; on 3.10 they're distinct
+            # and Future.result raises the futures one.
             self.cancel(fut)
             raise
 

@@ -273,6 +273,7 @@ class Trainer:
             ) if scan_epoch
             else None
         )
+        epoch_sharding = None
         if scan_epoch and self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -290,15 +291,19 @@ class Trainer:
         best = float("inf")
         nan_streak = 0
         completed = False
-        history = {"train_loss": [], "val_loss": [], "lr": []}
+        aborted = False
+        history = {"train_loss": [], "val_loss": [], "lr": [],
+                   "aborted": False}
         try:
             for epoch in range(1, epochs + 1):
                 if scan_epoch:
+                    # Under a mesh the gather produces each device's epoch
+                    # shard in place — no single-chip materialization or
+                    # post-hoc reshard (see windows._gather_epoch).
                     stacked = train_ds.epoch_arrays(
-                        batch_size, shuffle=True, seed=self.seed + epoch
+                        batch_size, shuffle=True, seed=self.seed + epoch,
+                        sharding=epoch_sharding,
                     )
-                    if self.mesh is not None:
-                        stacked = jax.device_put(stacked, epoch_sharding)
                     key, sub = jax.random.split(key)
                     self.state, losses = epoch_step(self.state, stacked, sub)
                     epoch_loss = float(jnp.mean(losses))
@@ -344,7 +349,13 @@ class Trainer:
                         "epoch %d: NaN loss (%d consecutive)", epoch, nan_streak
                     )
                     if nan_streak >= 3:
+                        # A diverged run is NOT a completed run: mark it so
+                        # callers (CLI exit code, sweeps) can tell, and skip
+                        # the completion-time retention sweep below — it
+                        # must not delete a previous run's checkpoints on
+                        # the strength of a failed one.
                         logging.error("3 consecutive NaN epochs; aborting")
+                        aborted = True
                         break
                 else:
                     nan_streak = 0
@@ -359,7 +370,8 @@ class Trainer:
                 if epoch in late:
                     self.save(save_dir, epoch, extra={"epoch_loss": epoch_loss},
                               async_save=True)
-            completed = True
+            completed = not aborted
+            history["aborted"] = aborted
         except BaseException:
             # Crash/interrupt resilience the reference lacks (SURVEY §5.3):
             # persist the in-flight state so long runs resume instead of
@@ -414,7 +426,14 @@ class Trainer:
         name = ckpt.checkpoint_name(self.cfg, self.arch, epoch)
         path = os.path.join(save_dir, name)
         meta = ckpt.build_metadata(self.cfg, self.arch, epoch, extra)
-        payload = {"params": self.state.params, "step": self.state.step}
+        # Optimizer state ships with every checkpoint (the reference saves
+        # {"opt", "model"} too, utils.py:140-147) so crash recovery resumes
+        # the Adam moments, step counter, and injected LR — not just weights.
+        payload = {
+            "params": self.state.params,
+            "step": self.state.step,
+            "opt_state": self.state.opt_state,
+        }
         if self.state.ema_params is not None:
             payload["ema_params"] = self.state.ema_params
         return ckpt.save_checkpoint(path, payload, meta, async_save=async_save)
@@ -436,6 +455,23 @@ class Trainer:
             # EMA enabled but checkpoint predates it: seed from the weights
             # (copied — params and ema share a donated state pytree).
             ema = jax.tree.map(jnp.copy, params)
+        # Resume the full training state when the checkpoint carries it:
+        # without the step counter the EMA warmup schedule restarts at
+        # d_eff≈0.1 and the first post-resume update wipes the accumulated
+        # average; without the Adam moments/injected LR, resume silently
+        # restarts optimization.  Older params-only checkpoints still load.
+        step = self.state.step
+        if "step" in restored:
+            step = jnp.asarray(restored["step"], jnp.int32)
+        opt_state = self.state.opt_state
+        if "opt_state" in restored:
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(self.state.opt_state),
+                jax.tree.leaves(restored["opt_state"]),
+            )
+            self.plateau = self.plateau._replace(
+                lr=get_learning_rate(opt_state)
+            )
         if self.mesh is not None:
             # Orbax restores to the default device; re-apply the mesh layout
             # so sampling/eval run sharded without an implicit reshard.
@@ -444,7 +480,13 @@ class Trainer:
             params = shard_params(params, self.mesh, mode=self.param_sharding)
             if ema is not None:
                 ema = shard_params(ema, self.mesh, mode=self.param_sharding)
-        self.state = self.state.replace(params=params, ema_params=ema)
+            if "opt_state" in restored:
+                opt_state = shard_params(
+                    opt_state, self.mesh, mode=self.param_sharding
+                )
+        self.state = self.state.replace(
+            params=params, ema_params=ema, step=step, opt_state=opt_state
+        )
         return meta
 
     # ------------------------------------------------------------------

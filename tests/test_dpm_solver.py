@@ -74,3 +74,14 @@ def test_trainer_dpm_sampler_path(smoke_cfg, tmp_path):
     out = tr.sample(past, jax.random.PRNGKey(0))
     assert out.shape == (2, 3, 8, 12, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dpm_steps_exceeding_timesteps_rejected():
+    """steps ≥ TIMESTEPS would repeat a rounded timestep → h = 0 → NaNs;
+    the sampler must refuse up front."""
+    sched = linear_schedule(10)
+    with pytest.raises(ValueError, match="DPM_STEPS"):
+        dpm_solver_sample(
+            lambda x, t, c: x, sched, None, jax.random.PRNGKey(0),
+            (2, 3, 4, 4, 3), steps=10,
+        )

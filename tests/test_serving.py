@@ -403,3 +403,19 @@ def test_parse_model_buckets():
         parse_model_buckets(["nonsense"])
     with pytest.raises(ValueError, match="bad bucket list"):
         parse_model_buckets(["x=a,b"])
+
+
+def test_predictor_mesh_rounds_buckets_to_data_axis(trained):
+    """Buckets not divisible by the data axis are rounded up, so warmup and
+    batch-1 requests work on an 8-device mesh instead of crashing in
+    shard_batch."""
+    ws = trained
+    pred = load_predictor(
+        ws["cfg"], "DDPM-UNet", datafiles_yml=ws["list"],
+        data_parallel=True, batch_buckets=(1, 3, 8),
+    )
+    assert pred.batch_buckets == (8,)  # 1→8, 3→8, 8→8, deduped
+    pred.warmup()
+    out = pred.predict(np.zeros((1, 5, 8, 12, 3), np.float32))
+    assert out.shape == (1, 3, 8, 12, 3)
+    assert np.isfinite(out).all()

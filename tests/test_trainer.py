@@ -462,3 +462,53 @@ def test_trainer_ema_decay_validation(smoke_cfg, tmp_path):
     })
     with pytest.raises(ValueError, match="EMA_DECAY"):
         Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run")).setup()
+
+
+def test_load_restores_full_train_state(smoke_cfg, tmp_path):
+    """Crash recovery resumes step/Adam moments/LR, not just weights —
+    without the step counter the EMA warmup schedule would collapse the
+    accumulated average on the first post-resume update."""
+    from crowdmod_tpu.train.optim import get_learning_rate
+
+    cfg = tiny_cfg(smoke_cfg, tmp_path)
+    ds = walker_ds(cfg)
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run"))
+    tr.fit(ds)
+    assert int(tr.state.step) > 0
+    tr.save(cfg.DATA_FS.SAVE_DIR, "abort")
+
+    tr2 = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run2"))
+    assert tr2.resume_from_abort()
+    assert int(tr2.state.step) == int(tr.state.step)
+    assert get_learning_rate(tr2.state.opt_state) == pytest.approx(
+        get_learning_rate(tr.state.opt_state)
+    )
+    assert tr2.plateau.lr == pytest.approx(
+        get_learning_rate(tr.state.opt_state)
+    )
+    for a, b in zip(jax.tree.leaves(tr.state.opt_state),
+                    jax.tree.leaves(tr2.state.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_nan_watchdog_aborts_without_completing(smoke_cfg, tmp_path):
+    """3 consecutive NaN epochs must mark the run aborted (CLI exits
+    nonzero) and must NOT run the completion-time retention sweep."""
+    cfg = tiny_cfg(smoke_cfg, tmp_path)
+    ds = walker_ds(cfg)
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run")).setup()
+
+    # A pre-existing numbered checkpoint from an earlier run of the same
+    # (cfg, arch): a failed run must not garbage-collect it.
+    stale = os.path.join(cfg.DATA_FS.SAVE_DIR,
+                         checkpoint_name(cfg, "DDPM-UNet", 7))
+    os.makedirs(stale)
+
+    real_step = tr._train_step
+    tr._train_step = lambda st, batch, key: (
+        real_step(st, batch, key)[0], jnp.float32(jnp.nan)
+    )
+    hist = tr.fit(ds, epochs=10, scan_epoch=False)
+    assert hist["aborted"] is True
+    assert len(hist["train_loss"]) == 3  # stopped at the watchdog, not 10
+    assert os.path.isdir(stale), "failed run must not GC prior checkpoints"

@@ -52,3 +52,23 @@ def test_synthetic_dataset_adds_to_base():
     out = synthetic_dataset(base, kind="BACKWARD")
     assert out[0, 0, 6, 35, 0] == 2.0  # 1 (base) + 1 (walker)
     np.testing.assert_allclose(out[0, 0, 6, 35, 1], 1 - 0.8, rtol=1e-6)
+
+
+def test_epoch_arrays_sharded_gather_matches_unsharded():
+    """Mesh training gathers the epoch straight into the DP layout; the
+    values must match the plain gather and actually land sharded."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    raw = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 12, 6, 8, 3)).astype(np.float32)
+    )
+    ds = WindowDataset(raw, past_len=5, future_len=3, stride=2)
+    mesh = Mesh(np.array(jax.devices()).reshape(8, 1), ("data", "model"))
+    sharding = NamedSharding(mesh, P(None, "data"))
+
+    plain = ds.epoch_arrays(8, shuffle=True, seed=3)
+    sharded = ds.epoch_arrays(8, shuffle=True, seed=3, sharding=sharding)
+    for a, b in zip(plain, sharded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert b.sharding.is_equivalent_to(sharding, b.ndim)
