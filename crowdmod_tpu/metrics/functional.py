@@ -161,8 +161,14 @@ def re_density(pred: jnp.ndarray, gt: jnp.ndarray, eps: float = 1e-6):
 def chunk_reduce(x: jnp.ndarray, chunk: int, op: str = "max") -> jnp.ndarray:
     """Reduce over groups of ``chunk`` consecutive samples (reference's
     MAX/MIN-over-repeated-past, :166-175)."""
+    if x.shape[0] % chunk:
+        raise ValueError(
+            f"chunk_reduce: {x.shape[0]} samples is not a multiple of "
+            f"chunk={chunk}; refusing to silently drop the trailing "
+            f"{x.shape[0] % chunk} samples from the MAX/MIN aggregate"
+        )
     n = x.shape[0] // chunk
-    grouped = x[: n * chunk].reshape((n, chunk) + x.shape[1:])
+    grouped = x.reshape((n, chunk) + x.shape[1:])
     return jnp.max(grouped, axis=1) if op == "max" else jnp.min(grouped, axis=1)
 
 

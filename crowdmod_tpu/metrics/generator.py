@@ -113,22 +113,20 @@ class MetricsEngine:
         tag = "MASK_PSNR" if masked else "PSNR"
         self.data[tag] = np.asarray(per_seq)
         self.data[f"MAX_{tag}"] = np.asarray(F.chunk_reduce(per_seq, chunk))
-        flat = _flatten_over_time(np.asarray(ot))
-        self.data[f"{tag}_OVER_TIME"] = flat
-        self.data[f"MAX_{tag}_OVER_TIME"] = np.asarray(
-            F.chunk_reduce(jnp.asarray(flat), chunk)
-        )
+        # Flatten (N, F, C) → (N, F*C) on device (a reshape is free there) so
+        # chunk_reduce runs before the single host transfer.
+        flat = ot.reshape(ot.shape[0], -1)
+        self.data[f"{tag}_OVER_TIME"] = np.asarray(flat)
+        self.data[f"MAX_{tag}_OVER_TIME"] = np.asarray(F.chunk_reduce(flat, chunk))
 
     def compute_ssim(self, chunk: int):
         ot = F.ssim_over_time(self.pred, self.gt, self.ranges)
         per_seq = jnp.mean(ot, axis=1)
         self.data["SSIM"] = np.asarray(per_seq)
         self.data["MAX_SSIM"] = np.asarray(F.chunk_reduce(per_seq, chunk))
-        flat = _flatten_over_time(np.asarray(ot))
-        self.data["SSIM_OVER_TIME"] = flat
-        self.data["MAX_SSIM_OVER_TIME"] = np.asarray(
-            F.chunk_reduce(jnp.asarray(flat), chunk)
-        )
+        flat = ot.reshape(ot.shape[0], -1)
+        self.data["SSIM_OVER_TIME"] = np.asarray(flat)
+        self.data["MAX_SSIM_OVER_TIME"] = np.asarray(F.chunk_reduce(flat, chunk))
 
     def compute_motion_features(self, mse: bool = True, bhatt: bool = True):
         mf = self.params.MOTION_FEATURE

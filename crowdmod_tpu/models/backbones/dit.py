@@ -274,7 +274,13 @@ class _DiTBase(nn.Module):
         return nn.silu(c)
 
     def _concat_input(self, future, past):
-        if self.condition == "Past" and past is not None:
+        if self.condition == "Past":
+            if past is None:
+                raise ValueError(
+                    "condition='Past' requires past frames; got past=None "
+                    "(the reference crashes here too, unet.py:133 — a model "
+                    "trained conditionally cannot be sampled unconditionally)"
+                )
             return jnp.concatenate([past, future], axis=1), past.shape[1]
         return future, 0
 
@@ -408,8 +414,10 @@ class DiT4DFactorized(_DiTBase):
         )(x)  # (B, T_p, N_s, D)
         tokens = self._pos_embed(tokens, self.t_max // self.t_patch_size)
 
-        # First future temporal slot (reference DiT4D_V4.py:268).
-        query_slot_start = self.past_len // self.t_patch_size
+        # First future temporal slot (reference DiT4D_V4.py:268).  Derived
+        # from the runtime past length so it always agrees with the slot
+        # boundary _concat_input actually produced.
+        query_slot_start = past_len // self.t_patch_size
         block_cls = maybe_remat(DiTBlockFactorized, self.remat)
         for i in range(self.depth):
             tokens = block_cls(

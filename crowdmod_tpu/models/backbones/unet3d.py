@@ -147,7 +147,13 @@ class UNet3D(nn.Module):
         *,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        if self.condition == "Past" and past is not None:
+        if self.condition == "Past":
+            if past is None:
+                raise ValueError(
+                    "condition='Past' requires past frames; got past=None "
+                    "(the reference crashes here too, unet.py:133 — a model "
+                    "trained conditionally cannot be sampled unconditionally)"
+                )
             past_len = past.shape[1]
             x = jnp.concatenate([past, future], axis=1)
         else:

@@ -91,8 +91,9 @@ def ddpm_sample(
 
     Args:
       sample_shape: ``(B, F, H, W, C)`` of the future block to generate.
-      history: when True additionally returns the ``(T, B, F, H, W, C)``
-        trajectory (reference's ``xnoisy_over_time``).
+      history: when True additionally returns the ``(T+1, B, F, H, W, C)``
+        trajectory — the initial x_T noise followed by each denoised state,
+        matching the reference's ``xnoisy_over_time`` layout (ddpm.py:212).
     """
     k_init, k_loop = jax.random.split(key)
     x0 = jax.random.normal(k_init, sample_shape, dtype=jnp.float32)
@@ -130,7 +131,11 @@ def ddpm_sample(
 
     ts = jnp.arange(sched.timesteps - 1, -1, -1)
     x_final, traj = jax.lax.scan(body, x0, ts, unroll=unroll)
-    return (x_final, traj) if history else x_final
+    if history:
+        # Seed with the initial noise so the trajectory has T+1 entries like
+        # the reference's xnoisy_over_time (ddpm.py:212).
+        return x_final, jnp.concatenate([x0[None], traj], axis=0)
+    return x_final
 
 
 def ddim_sample(
@@ -192,4 +197,8 @@ def ddim_sample(
         return (x, beta_p, sab_p, somab_p), (x if history else None)
 
     (x_final, _, _, _), traj = jax.lax.scan(body, carry0, taus[::-1])
-    return (x_final, traj) if history else x_final
+    if history:
+        # len(taus)+1 entries: initial noise first, as in the reference's
+        # xnoisy_over_time (ddpm.py:249).
+        return x_final, jnp.concatenate([x0[None], traj], axis=0)
+    return x_final

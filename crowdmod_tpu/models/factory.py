@@ -80,6 +80,7 @@ def build_backbone(
         return dit.DiT2D(
             past_len=cfg.DATASET.PAST_LEN,
             future_len=cfg.DATASET.FUTURE_LEN,
+            condition=node.CONDITION,
             **common,
         )
     if arch == "ConvRNN":

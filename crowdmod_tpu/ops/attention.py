@@ -36,8 +36,9 @@ def dot_product_attention(
     dtype = q.dtype
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    use_dropout = dropout_rate > 0.0 and not deterministic
 
-    if dropout_rate == 0.0 or deterministic:
+    if not use_dropout:
         from crowdmod_tpu.ops.pallas import fused_attention, pallas_mode
 
         mode = pallas_mode("attention")
@@ -58,26 +59,21 @@ def dot_product_attention(
                 .reshape(lead + (sq, h, dh))
                 .astype(dtype)
             )
-        # XLA path: einsum directly on (..., S, H, Dh) — dot_general folds
-        # the head transpose into its dimension numbers, so no materialized
-        # layout copies (the moveaxis round-trip above costs ~120 MB/step of
-        # HBM copy traffic at DiT flagship shapes; measured on v5e).
-        logits = jnp.einsum(
-            "...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32
-        )
-        weights = jax.nn.softmax(logits * scale, axis=-1)
-        out = jnp.einsum(
-            "...hqk,...khd->...qhd", weights.astype(dtype), v,
-            preferred_element_type=jnp.float32,
-        )
-        return out.astype(dtype)
-
-    logits = jnp.einsum("...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32)
+    # XLA path: einsum directly on (..., S, H, Dh) — dot_general folds
+    # the head transpose into its dimension numbers, so no materialized
+    # layout copies (the moveaxis round-trip above costs ~120 MB/step of
+    # HBM copy traffic at DiT flagship shapes; measured on v5e).
+    logits = jnp.einsum(
+        "...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32
+    )
     weights = jax.nn.softmax(logits * scale, axis=-1)
-    keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
-    weights = weights * keep / (1.0 - dropout_rate)
-    out = jnp.einsum("...hqk,...khd->...qhd", weights.astype(dtype), v,
-                     preferred_element_type=jnp.float32)
+    if use_dropout:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = weights * keep / (1.0 - dropout_rate)
+    out = jnp.einsum(
+        "...hqk,...khd->...qhd", weights.astype(dtype), v,
+        preferred_element_type=jnp.float32,
+    )
     return out.astype(dtype)
 
 

@@ -30,7 +30,13 @@ IMPLS = ("direct", "split_t", "fold_t", "pallas")
 
 def default_impl() -> str:
     impl = os.environ.get("CROWDMOD_CONV3D_IMPL", "direct")
-    return impl if impl in IMPLS else "direct"
+    if impl not in IMPLS:
+        raise ValueError(
+            f"CROWDMOD_CONV3D_IMPL={impl!r} is not one of {IMPLS} — refusing "
+            "to silently fall back to 'direct' (a typo here would mislabel "
+            "benchmark results)"
+        )
+    return impl
 
 
 def conv3d_same(x: jnp.ndarray, kernel: jnp.ndarray, impl: str) -> jnp.ndarray:

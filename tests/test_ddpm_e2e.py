@@ -89,8 +89,10 @@ def test_ddpm_history_trajectory(tiny_setup):
         denoise, sched, past[:2], jax.random.PRNGKey(0), (2, F, H, W, C),
         history=True,
     )
-    assert traj.shape == (5, 2, F, H, W, C)
+    # T+1 entries: initial x_T noise first (reference xnoisy_over_time).
+    assert traj.shape == (6, 2, F, H, W, C)
     np.testing.assert_allclose(traj[-1], out)
+    assert not np.allclose(traj[0], traj[-1])
 
 
 def test_fm_loss_and_integrators(tiny_setup):
