@@ -95,7 +95,12 @@ def check_configs(results):
         if yml.name.endswith("_datafiles.yml"):
             continue
         n += 1
-        problems = validate_config(load_config(yml))
+        # One unparseable config must report FAIL, not crash the doctor
+        # before the remaining checks and the summary run.
+        try:
+            problems = validate_config(load_config(yml))
+        except Exception as e:  # noqa: BLE001
+            problems = [repr(e)]
         if problems:
             bad.append(f"{yml.name}: {problems[0]}")
     if not n:

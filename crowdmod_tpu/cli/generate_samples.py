@@ -79,14 +79,16 @@ def run(argv=None) -> int:
         cfg, trainer.mprops_count, from_fixed_past=args.from_fixed_past,
         seed=args.seed,
     )
-    past_all, future_all = test_ds.gather(np.arange(len(test_ds)))
-
     key = jax.random.PRNGKey(args.seed)
     ksel, ksamp = jax.random.split(key)
     nsamples = cfg.MODEL.NSAMPLES4PLOTS
-    past, future, idx = trainer.select_past(
-        past_all, future_all, nsamples, ksel, same_past=args.same_past_seq
+    # Select window ids first and gather ONLY those: real test splits have
+    # stride-1 overlapping windows, so materializing every window on device
+    # would be ~(PAST+FUTURE)× the raw tensor just to pick a handful.
+    idx = Trainer.select_ids(
+        len(test_ds), nsamples, ksel, same_past=args.same_past_seq
     )
+    past, future = test_ds.gather(np.asarray(idx))
     logging.info("sampling %d sequences with %s", past.shape[0], args.arch)
     pred = trainer.sample(past, ksamp)
     # Reference ddpm.py:322-324 logs the L1 norm of the samples as a sanity

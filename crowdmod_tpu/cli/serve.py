@@ -167,6 +167,9 @@ class ServingApp:
 class _Handler(BaseHTTPRequestHandler):
     # Set by make_server.
     app: ServingApp = None  # type: ignore[assignment]
+    # Socket read/write deadline: bounds how long a stalled client can hold
+    # a handler thread (and therefore how long graceful drain can take).
+    timeout = 60
 
     def log_message(self, fmt, *args):  # route to logging, not stderr
         logging.debug("http: " + fmt, *args)
@@ -250,7 +253,13 @@ def make_server(app: ServingApp, host: str = "127.0.0.1",
                 port: int = 0) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` picks a free one."""
     handler = type("BoundHandler", (_Handler,), {"app": app})
-    return ThreadingHTTPServer((host, port), handler)
+    srv = ThreadingHTTPServer((host, port), handler)
+    # Non-daemon handler threads: server_close() then joins them, so the
+    # graceful-drain path waits for in-flight responses to finish writing
+    # instead of killing them mid-serialization at process exit.  The
+    # handler's socket timeout above bounds the join.
+    srv.daemon_threads = False
+    return srv
 
 
 def run(argv=None) -> int:
@@ -338,8 +347,10 @@ def run(argv=None) -> int:
         stop.wait()
         logging.info("shutdown signal received; draining")
     finally:
-        server.shutdown()
-        app.close()
+        server.shutdown()   # stop accepting new connections
+        app.close()         # complete/fail everything queued for the TPU
+        server.server_close()  # join in-flight handler threads (bounded
+        #                        by the handler socket timeout)
     return 0
 
 

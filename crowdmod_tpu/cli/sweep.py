@@ -90,8 +90,11 @@ def sample_trial(space: dict, rng: np.random.Generator) -> dict:
 
 def trial_overrides(arch: str, trial: dict) -> dict:
     """Translate sweep parameter names into config-tree overrides."""
-    family = "CONVRNN" if arch == "ConvRNN" else arch.split("-")[0]
-    backbone = None if arch == "ConvRNN" else arch.split("-")[1]
+    # Config-tree node names are uppercase (MODEL.DDPM.UNET, factory.py:22);
+    # FrozenConfig merges are case-sensitive, so a mixed-case key would land
+    # in a dead node the factory never reads.
+    family = "CONVRNN" if arch == "ConvRNN" else arch.upper().split("-")[0]
+    backbone = None if arch == "ConvRNN" else arch.upper().split("-")[1]
     node: dict = {}
     train_node: dict = {}
     solver: dict = {}

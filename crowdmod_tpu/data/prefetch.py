@@ -154,12 +154,20 @@ class FileWindowStream:
         return load_pickle_native(path, self.mprops_count)
 
     def _files_ahead(self) -> Iterator[np.ndarray]:
-        """Yield host arrays with one-file read-ahead (double buffer)."""
+        """Yield host arrays with one-file read-ahead (double buffer).
+
+        The loader reserves the queue slot BEFORE reading the next file:
+        otherwise it would load file k+2 and then block on ``put`` while the
+        consumer holds file k and the queue holds k+1 — three resident files,
+        50% over the documented two-file budget.
+        """
         q: queue.Queue = queue.Queue(maxsize=1)
+        slot = threading.Semaphore(1)
 
         def loader():
             try:
                 for path in self.files:
+                    slot.acquire()
                     q.put(self._load_host(path))
             except BaseException as e:  # noqa: BLE001
                 q.put(e)
@@ -170,6 +178,7 @@ class FileWindowStream:
                          name="crowdmod-file-loader").start()
         while True:
             item = q.get()
+            slot.release()
             if item is _SENTINEL:
                 return
             if isinstance(item, BaseException):

@@ -39,7 +39,17 @@ def build_library(force: bool = False) -> Path | None:
     toolchain is available."""
     out_dir = _cache_dir()
     out_dir.mkdir(parents=True, exist_ok=True)
-    lib = out_dir / LIB_NAME
+    # Race-detection build (SURVEY.md §5.2 — the runtime is threaded):
+    # CROWDMOD_NATIVE_SANITIZE=thread|address builds with the sanitizer so
+    # the parity tests double as data-race / memory checks.  The sanitize
+    # mode is part of the cache key (distinct filename): otherwise a fresh
+    # plain .so would make sanitizer runs a silent no-op, and a cached
+    # sanitized .so would poison later normal runs.
+    san = os.environ.get("CROWDMOD_NATIVE_SANITIZE")
+    if san not in ("thread", "address"):
+        san = None
+    lib = out_dir / (LIB_NAME if san is None
+                     else LIB_NAME.replace(".so", f".{san}.so"))
     if lib.exists() and not force and lib.stat().st_mtime >= SRC.stat().st_mtime:
         return lib
     cmd = [
@@ -47,17 +57,16 @@ def build_library(force: bool = False) -> Path | None:
         "-march=native", "-funroll-loops",
         str(SRC), "-o", str(lib),
     ]
-    # Race-detection build (SURVEY.md §5.2 — the runtime is threaded):
-    # CROWDMOD_NATIVE_SANITIZE=thread|address builds with the sanitizer so
-    # the parity tests double as data-race / memory checks.
-    san = os.environ.get("CROWDMOD_NATIVE_SANITIZE")
-    if san in ("thread", "address"):
+    if san is not None:
         cmd = [a for a in cmd if a != "-O3"]
         cmd[1:1] = ["-O1", "-g", f"-fsanitize={san}"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except FileNotFoundError:
         logging.info("g++ not found; native runtime disabled")
+        return None
+    except subprocess.TimeoutExpired:
+        logging.warning("native build timed out; falling back to numpy paths")
         return None
     except subprocess.CalledProcessError as e:
         # -march=native can fail on exotic hosts; retry generic.

@@ -620,7 +620,23 @@ class Trainer:
         chunk: int = 1,
     ):
         """Sampling-protocol index selection (ddpm.py:295-318, 358-366)."""
-        n = past.shape[0]
+        idx = self.select_ids(
+            past.shape[0], nsamples, key, same_past=same_past, chunk=chunk
+        )
+        return past[idx], future[idx], idx
+
+    @staticmethod
+    def select_ids(
+        n: int,
+        nsamples: int,
+        key,
+        *,
+        same_past: bool = False,
+        chunk: int = 1,
+    ) -> jnp.ndarray:
+        """Window-id selection for the sampling protocol — O(nsamples)
+        int32, so callers with a large test set can gather only the chosen
+        windows instead of materializing every window on device."""
         idx = jax.random.permutation(key, n)[: min(nsamples, n)]
         if same_past:
             idx = jnp.full_like(idx, idx[0])
@@ -632,8 +648,7 @@ class Trainer:
             # shape (VERDICT round-1 item 7).
             reps = -(-nsamples // idx.shape[0])
             idx = jnp.tile(idx, reps)
-        idx = idx[:nsamples]
-        return past[idx], future[idx], idx
+        return idx[:nsamples]
 
     # ------------------------------------------------------------------
     # Metrics

@@ -21,6 +21,7 @@ import os
 import numpy as np
 
 from crowdmod_tpu.viz.plot_crowd import ddim_sort_key, make_short_name
+from crowdmod_tpu.viz.plot_metrics import labeled_boxplot
 
 
 def _plt():
@@ -84,7 +85,7 @@ def compare_metric(
     if not values:
         return None
     fig, ax = plt.subplots(figsize=(max(6, 1.4 * len(values)), 5))
-    ax.boxplot(values, tick_labels=labels)
+    labeled_boxplot(ax, values, labels)
     ax.set_title(f"{metric}{f' ({column_label})' if column_label else ''}")
     ax.grid(True, alpha=0.3)
     ax.tick_params(axis="x", rotation=30)
@@ -110,7 +111,7 @@ def compare_bhatt(
     fig, axes = plt.subplots(1, 2, figsize=(6 + 1.2 * len(have), 5))
     for ax, metric in zip(axes, ("MF_BHATT_COEF", "MF_BHATT_DIST")):
         vals = [models[n][metric][:, 0] for n in have]
-        ax.boxplot(vals, tick_labels=[make_short_name(n) for n in have])
+        labeled_boxplot(ax, vals, [make_short_name(n) for n in have])
         ax.set_title(f"{metric} (hist2D)")
         ax.grid(True, alpha=0.3)
         ax.tick_params(axis="x", rotation=30)

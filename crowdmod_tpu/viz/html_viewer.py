@@ -159,7 +159,12 @@ def generate_html(
                 body.append("<td>—</td>")
                 continue
             cell_id = re.sub(r"\W+", "_", f"{r}_{c}")
-            frames = extract_frames(gif, cache, embed=embed)
+            # Per-cell cache subdir: every model row ships GIFs with the
+            # same basenames (mprops_seq_N.gif), so a flat cache would have
+            # later rows overwrite earlier rows' frames.
+            frames = extract_frames(
+                gif, os.path.join(cache, cell_id), embed=embed
+            )
             if not embed:
                 frames = [os.path.relpath(f, out_dir) for f in frames]
             frames_js[cell_id] = frames

@@ -59,15 +59,25 @@ def max_rho(seqs: np.ndarray) -> float:
 # ----------------------------------------------------------------------
 
 def draw_macroprops(ax, crowd: Crowd, info: str, rho_max: float,
-                    vel_scale: float = 0.5, draw_unc: bool = False,
-                    unc_scale: float = 1.0):
-    """Density matshow + velocity quiver + optional σ circles on ``ax``."""
+                    vel_scale: float = 0.5, draw_vel: bool = True,
+                    draw_unc: bool = False, unc_scale: float = 1.0,
+                    headwidth: int | None = None):
+    """Density matshow + optional velocity quiver / σ circles on ``ax``.
+
+    The single frame renderer for the whole viz package — plot_samples'
+    static grids delegate here so the color map, velocity-sign convention
+    (vy negated for matshow's row-down axes), and circle style live in one
+    place.
+    """
     plt = _plt()
     im = ax.matshow(crowd.rho, cmap=plt.cm.Blues, vmin=0.0, vmax=rho_max)
-    ax.quiver(
-        crowd.mu_v[..., 0], -crowd.mu_v[..., 1], color="green", angles="xy",
-        scale_units="xy", scale=vel_scale, minshaft=3.5, width=0.009,
-    )
+    if draw_vel:
+        extra = {} if headwidth is None else {"headwidth": headwidth}
+        ax.quiver(
+            crowd.mu_v[..., 0], -crowd.mu_v[..., 1], color="green",
+            angles="xy", scale_units="xy", scale=vel_scale, minshaft=3.5,
+            width=0.009, **extra,
+        )
     if draw_unc:
         rows, cols = crowd.rho.shape
         sigma = np.sqrt(np.maximum(crowd.sigma2_v, 0.0))
@@ -77,7 +87,8 @@ def draw_macroprops(ax, crowd: Crowd, info: str, rho_max: float,
                     (c, r), unc_scale * sigma[r, c], fill=False,
                     color="green", lw=0.7,
                 ))
-    ax.set_title(info, fontsize=9)
+    if info:
+        ax.set_title(info, fontsize=9)
     ax.axis("off")
     return im
 

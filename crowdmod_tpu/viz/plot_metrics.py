@@ -22,6 +22,17 @@ def _plt():
     return plt
 
 
+def labeled_boxplot(ax, values, labels):
+    """``ax.boxplot`` with per-box labels across matplotlib versions: the
+    kwarg was ``labels`` before 3.9 and is ``tick_labels`` since."""
+    import matplotlib
+
+    kw = ("tick_labels"
+          if tuple(int(x) for x in matplotlib.__version__.split(".")[:2])
+          >= (3, 9) else "labels")
+    return ax.boxplot(values, **{kw: labels})
+
+
 def boxplot(data: dict[str, np.ndarray], title: str, save_path: str,
             ytick_step: float | None = None, annotate_outliers: bool = False):
     """One boxplot per named column."""
@@ -30,7 +41,7 @@ def boxplot(data: dict[str, np.ndarray], title: str, save_path: str,
     labels = list(data)
     values = [np.asarray(v).ravel() for v in data.values()]
     values = [v[np.isfinite(v)] for v in values]
-    ax.boxplot(values, tick_labels=labels)
+    labeled_boxplot(ax, values, labels)
     if annotate_outliers:
         for i, v in enumerate(values, start=1):
             if len(v) == 0:
@@ -69,9 +80,7 @@ def bhatt_pair_plot(coef: np.ndarray, dist: np.ndarray, title, save_path):
     for ax, mat, name in [
         (axes[0], coef, "BHATT_COEF"), (axes[1], dist, "BHATT_DIST")
     ]:
-        ax.boxplot(
-            [mat[:, 0], mat[:, 1]], tick_labels=["hist2D", "hist1D"]
-        )
+        labeled_boxplot(ax, [mat[:, 0], mat[:, 1]], ["hist2D", "hist1D"])
         ax.set_title(name)
         ax.grid(True, alpha=0.3)
     fig.suptitle(title)

@@ -113,26 +113,17 @@ class MacropropPlotter:
 
     def _draw_frame(self, ax, frame: np.ndarray, plot_mprop: str):
         """Density matshow + optional quiver / uncertainty circles for one
-        (H, W, C) frame."""
-        plt = _plt()
-        rho = frame[..., 0]
-        im = ax.matshow(rho, cmap=plt.cm.Blues, vmin=0.0, vmax=self.max_rho)
-        if plot_mprop == "Density&Vel":
-            ax.quiver(
-                frame[..., 1], -frame[..., 2], color="green", angles="xy",
-                scale_units="xy", scale=self.vel_scale, minshaft=3.5,
-                width=0.009, headwidth=self.headwidth,
-            )
-        elif plot_mprop == "Uncertainty" and frame.shape[-1] > 3:
-            sigma = np.sqrt(np.maximum(frame[..., 3], 0.0))
-            for r in range(self.rows):
-                for c in range(self.cols):
-                    circ = plt.Circle(
-                        (c, r), self.vel_unc_scale * sigma[r, c],
-                        fill=False, color="green", lw=0.7,
-                    )
-                    ax.add_artist(circ)
-        ax.axis("off")
+        (H, W, C) frame — delegates to the package-wide frame renderer."""
+        from crowdmod_tpu.viz.plot_crowd import Crowd, draw_macroprops
+
+        frame = np.asarray(frame)
+        im = draw_macroprops(
+            ax, Crowd.from_frame(frame), info="", rho_max=self.max_rho,
+            vel_scale=self.vel_scale,
+            draw_vel=plot_mprop == "Density&Vel",
+            draw_unc=plot_mprop == "Uncertainty" and frame.shape[-1] > 3,
+            unc_scale=self.vel_unc_scale, headwidth=self.headwidth,
+        )
         ax.grid(False)
         return im
 

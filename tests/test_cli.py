@@ -80,16 +80,41 @@ def test_cli_doctor(capsys):
 
 
 def test_sweep_space_and_overrides():
+    """Overrides must land on the exact nodes the factory/trainer read —
+    a mixed-case key would merge into a dead node and silently no-op."""
     from crowdmod_tpu.cli.sweep import sample_trial, sweep_space, trial_overrides
+    from crowdmod_tpu.config import load_config
+    from crowdmod_tpu.models.factory import backbone_cfg
+    from crowdmod_tpu.train.trainer import _solver_node
 
+    base = load_config("ATC.yml")
     rng = np.random.default_rng(0)
-    for arch in ("DDPM-UNet", "FM-DiT", "ConvRNN"):
+    for arch in ("DDPM-UNet", "DDPM-DiT", "FM-UNet", "FM-DiT", "ConvRNN"):
         space = sweep_space(arch)
         trial = sample_trial(space, rng)
         over = trial_overrides(arch, trial)
         assert "MODEL" in over
         if "batch_size" in trial:
             assert over["DATASET"]["BATCH_SIZE"] == trial["batch_size"]
+        cfg = base.updated(over)
+        solver = _solver_node(cfg, arch)
+        assert solver.SOLVER.LR == trial["learning_rate"]
+        assert solver.EPOCHS == trial["epochs"]
+        if arch != "ConvRNN":
+            node = backbone_cfg(cfg, arch)
+            assert node.BASE_CH == trial["base_ch"]
+            assert node.DROPOUT_RATE == trial["dropout_rate"]
+            assert node.TIME_EMB_MULT == trial["time_emb_mult"]
+            fam = getattr(cfg.MODEL, arch.upper().split("-")[0])
+            if "scale" in trial:
+                assert fam.SCALE == trial["scale"]
+            if "timesteps" in trial:
+                assert fam.TIMESTEPS == trial["timesteps"]
+            if "time_max_pos" in trial:
+                assert fam.TIME_MAX_POS == trial["time_max_pos"]
+        else:
+            assert list(cfg.MODEL.CONVRNN.ENC_HIDDEN_CH) == list(
+                trial["enc_hidden_ch"])
     with pytest.raises(ValueError):
         sweep_space("nope")
 

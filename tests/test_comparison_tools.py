@@ -92,6 +92,27 @@ def test_html_viewer_models_mode(tmp_path):
     assert "DDPM-UNet" in page and "togglePlay" in page
 
 
+def test_html_viewer_no_embed_rows_keep_distinct_frames(tmp_path):
+    """Both model dirs ship identically-named GIFs; the cached PNGs must not
+    collide (each row must reference its own frames, not the last row's)."""
+    d1 = _gif_dir(tmp_path / "samples", "DDPM-UNet")
+    d2 = _gif_dir(tmp_path / "samples", "FM-UNet")
+    grid = scan_model_dirs([d1, d2])
+    out = generate_html(grid, str(tmp_path / "viewer.html"), embed=False)
+    page = open(out).read()
+    start = page.index("const FRAMES = ") + len("const FRAMES = ")
+    frames_js = json.loads(page[start:page.index(";\n", start)])
+    row1 = [v for k, v in frames_js.items() if k.startswith("DDPM_UNet")]
+    row2 = [v for k, v in frames_js.items() if k.startswith("FM_UNet")]
+    assert row1 and row2
+    paths1 = {p for fr in row1 for p in fr}
+    paths2 = {p for fr in row2 for p in fr}
+    assert not paths1 & paths2, "rows share cached frame files"
+    out_dir = os.path.dirname(out)
+    for p in paths1 | paths2:
+        assert os.path.exists(os.path.join(out_dir, p))
+
+
 def test_html_viewer_lambda_mode(tmp_path):
     parent = tmp_path / "sweep"
     for lam in ("0.5", "2.0", "1.0"):

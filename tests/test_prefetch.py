@@ -214,3 +214,47 @@ def test_file_window_stream_trains(tmp_path, smoke_cfg):
         assert future.shape == (2, 3, h, w, 3)
         seen += 1
     assert seen >= 2
+
+
+def test_files_ahead_two_file_budget(tmp_path, monkeypatch):
+    """The loader must not read file k+1 until the consumer holds file k:
+    at most two files resident (one consumed + one buffered/loading)."""
+    import threading
+    import time
+
+    h, w, L, n = 4, 6, 12, 2
+    paths = []
+    rng = np.random.default_rng(0)
+    for k in range(4):
+        arr = rng.normal(size=(n, 4, h, w, L)).astype(np.float32)
+        p = tmp_path / f"f{k}.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(arr, f)
+        paths.append(str(p))
+
+    stream = FileWindowStream(paths, past_len=5, future_len=3, stride=4,
+                              mprops_count=3)
+    loads = []
+    lock = threading.Lock()
+    real = FileWindowStream._load_host
+
+    def counting_load(self, path):
+        with lock:
+            loads.append(path)
+        return real(self, path)
+
+    monkeypatch.setattr(FileWindowStream, "_load_host", counting_load)
+
+    it = stream._files_ahead()
+    next(it)  # starts the loader; consumer now holds file 0
+    time.sleep(0.6)
+    # Loader may buffer file 1 but must not have started file 2.
+    assert len(loads) == 2
+    next(it)
+    time.sleep(0.6)
+    assert len(loads) == 3
+    next(it)
+    next(it)
+    with pytest.raises(StopIteration):
+        next(it)
+    assert loads == paths
