@@ -19,7 +19,6 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import json
-import os
 import time
 
 # The bench measures the shipped default configuration: since round 2 the

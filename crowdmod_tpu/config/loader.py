@@ -54,4 +54,8 @@ def load_config(
         cfg = cfg.updated(_load_yaml(datafiles_yml_file))
     if overrides:
         cfg = cfg.updated(overrides)
-    return cfg
+    # Fill schema defaults so optional keys are real attributes everywhere
+    # (validate.with_defaults is a no-op for configs with schema problems).
+    from crowdmod_tpu.config.validate import with_defaults
+
+    return with_defaults(cfg)

@@ -355,7 +355,14 @@ def structure(cls, data: Mapping, path: str = "", problems: list | None = None):
             problems.append(f"{key_path}: required field is missing")
             ok = False
     if not ok:
-        return None if own else None
+        # Missing required fields must honor the same own-call contract as
+        # type problems below: raise the aggregated message, never return a
+        # silent None to a direct caller.
+        if own and problems:
+            raise ValueError(
+                "invalid configuration:\n  - " + "\n  - ".join(problems)
+            )
+        return None
     try:
         inst = cls(**values)
     except Exception as e:  # pragma: no cover - defensive

@@ -75,12 +75,27 @@ def validate_config(cfg: FrozenConfig, arch: str | None = None) -> list[str]:
                     f"resolution levels"
                 )
 
+    def check_convrnn(node, label):
+        if node is None:
+            return
+        # Encoder runs two stride-2 levels and the forecaster allocates its
+        # recurrent state at (H//4, W//4) / (H//2, W//2) — an indivisible
+        # grid fails with an opaque concat shape error deep in flax.
+        for dim, name in ((h, "ROWS"), (w, "COLS")):
+            if dim and dim % 4:
+                problems.append(
+                    f"{label}: MACROPROPS.{name} ({dim}) must be divisible "
+                    f"by 4 (two stride-2 encoder levels)"
+                )
+
     archs = {
         "DDPM-UNet": lambda: check_unet(cfg.get_path("MODEL.DDPM.UNET"), "MODEL.DDPM.UNET"),
         "DDPM-DiT": lambda: check_dit(cfg.get_path("MODEL.DDPM.DIT"), "MODEL.DDPM.DIT"),
         "FM-UNet": lambda: check_unet(cfg.get_path("MODEL.FM.UNET"), "MODEL.FM.UNET"),
         "FM-DiT": lambda: check_dit(cfg.get_path("MODEL.FM.DIT"), "MODEL.FM.DIT"),
-        "ConvRNN": lambda: None,
+        "ConvRNN": lambda: check_convrnn(
+            cfg.get_path("MODEL.CONVRNN"), "MODEL.CONVRNN"
+        ),
     }
     if arch is not None:
         if arch not in archs:
@@ -100,3 +115,26 @@ def require_valid(cfg: FrozenConfig, arch: str | None = None) -> None:
         raise ValueError(
             "invalid configuration:\n  - " + "\n  - ".join(problems)
         )
+
+
+def with_defaults(cfg: FrozenConfig) -> FrozenConfig:
+    """Materialize the schema's optional-field defaults into ``cfg``.
+
+    The validator's contract is "optional keys have defaults", but runtime
+    code reads the raw tree by attribute access — a config omitting e.g.
+    ``MODEL.DDPM.SCALE`` would validate cleanly and then crash with
+    AttributeError deep in the Trainer.  Overlaying the raw tree onto the
+    typed view (defaults filled, unknown keys preserved by the overlay)
+    makes the contract hold everywhere.  Configs with schema problems are
+    returned unchanged — ``require_valid`` owns the error reporting.
+    """
+    import dataclasses
+
+    from crowdmod_tpu.config.schema import structure, TypedConfig
+
+    problems: list[str] = []
+    typed = structure(TypedConfig, cfg, "", problems)
+    if problems or typed is None:
+        return cfg
+    defaults = dataclasses.asdict(typed)
+    return FrozenConfig(defaults).updated(cfg.to_dict())

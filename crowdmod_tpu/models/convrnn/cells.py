@@ -34,8 +34,12 @@ class ConvGRUCell(nn.Module):
     def __call__(self, x: jnp.ndarray, state):
         h_prev, c_prev = state
         k = (self.kernel_size, self.kernel_size)
+        # padding follows the configurable kernel (k//2 == SAME for odd k);
+        # hardcoded (1,1) would shrink H,W for any ENC_KERNELS entry != 3
+        # and break the recurrent state shapes.
+        pad = self.kernel_size // 2
         conv = lambda feats, name: nn.Conv(
-            feats, kernel_size=k, padding=((1, 1), (1, 1)),
+            feats, kernel_size=k, padding=((pad, pad), (pad, pad)),
             use_bias=self.use_bias, dtype=self.dtype, name=name,
         )
         combined = jnp.concatenate([x, h_prev], axis=-1)
@@ -59,8 +63,10 @@ class ConvLSTMCell(nn.Module):
         h_prev, c_prev = state
         k = (self.kernel_size, self.kernel_size)
         combined = jnp.concatenate([x, h_prev], axis=-1)
+        pad = self.kernel_size // 2
         gates = nn.Conv(
-            4 * self.hidden_channels, kernel_size=k, padding=((1, 1), (1, 1)),
+            4 * self.hidden_channels, kernel_size=k,
+            padding=((pad, pad), (pad, pad)),
             use_bias=self.use_bias, dtype=self.dtype, name="gates",
         )(combined)
         i, f, o, g = jnp.split(gates, 4, axis=-1)

@@ -54,10 +54,13 @@ class Encoder(nn.Module):
     def __call__(self, window: jnp.ndarray, state: list):
         hc = self.hidden_channels
         kz = self.kernels
+        # padding k//2 keeps stride-1 convs shape-preserving and stride-2
+        # convs at ceil(H/2) for every configured ENC_KERNELS entry (a
+        # hardcoded pad of 1 only works for k == 3).
         conv = lambda feats, k, stride, name: nn.Conv(
             feats, kernel_size=(k, k), strides=(stride, stride),
-            padding=((1, 1), (1, 1)), use_bias=self.use_bias,
-            dtype=self.dtype, name=name,
+            padding=((k // 2, k // 2), (k // 2, k // 2)),
+            use_bias=self.use_bias, dtype=self.dtype, name=name,
         )
         cell = lambda feats, k, name: self.cell(
             hidden_channels=feats, kernel_size=k, use_bias=self.use_bias,
@@ -137,7 +140,8 @@ class Forecaster(nn.Module):
             use_bias=self.use_bias, dtype=self.dtype, name=name,
         )
         conv = lambda feats, k, name: nn.Conv(
-            feats, kernel_size=(k, k), padding=((1, 1), (1, 1)),
+            feats, kernel_size=(k, k),
+            padding=((k // 2, k // 2), (k // 2, k // 2)),
             use_bias=self.use_bias, dtype=self.dtype, name=name,
         )
 

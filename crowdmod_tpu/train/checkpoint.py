@@ -105,8 +105,10 @@ def save_checkpoint(
     # sidecar below is written from THIS thread, possibly before the
     # background commit has made the parent — create it deterministically.
     directory.parent.mkdir(parents=True, exist_ok=True)
-    if async_save:
-        _async_checkpointer().wait_until_finished()
+    # Any pending async saves must commit first — both so this save can't
+    # race a prior one to the same directory, and so the documented
+    # "save once more synchronously" flush contract actually holds.
+    wait_for_saves()
     if directory.exists():
         # orbax refuses to overwrite; mirror torch.save's replace semantics.
         import shutil
@@ -145,11 +147,17 @@ def load_checkpoint(directory: str | os.PathLike, template: Any | None = None):
         restored = jax.tree.unflatten(jax.tree.structure(template), flat)
     else:
         restored = _checkpointer().restore(directory)
+    return restored, read_metadata(directory)
+
+
+def read_metadata(directory: str | os.PathLike) -> dict | None:
+    """Read a checkpoint's metadata.json (or its async-save sidecar) without
+    restoring the state pytree."""
+    directory = Path(directory).absolute()
     meta_path = directory / "metadata.json"
     if not meta_path.exists():
         meta_path = Path(f"{directory}.meta.json")  # async-save sidecar
-    metadata = json.loads(meta_path.read_text()) if meta_path.exists() else None
-    return restored, metadata
+    return json.loads(meta_path.read_text()) if meta_path.exists() else None
 
 
 def gc_checkpoints(

@@ -141,8 +141,16 @@ class Trainer:
             return self.model.init(key, past, target=future, teacher_forcing=True)
         return self.model.init(key, future, jnp.zeros((2,)), past)
 
-    def _loss_fn(self):
+    def _loss_fn(self, *, deterministic: bool = False):
+        """Loss closure; ``deterministic=True`` disables dropout (the eval
+        variant — reference ``model.eval()`` semantics)."""
         model, cfg = self.model, self.cfg
+
+        def apply_kwargs(dropout_key):
+            if deterministic:
+                return {"deterministic": True}
+            return {"deterministic": False, "rngs": {"dropout": dropout_key}}
+
         if self.family == "DDPM":
             sched = self.sched
 
@@ -150,8 +158,7 @@ class Trainer:
                 past, future = batch
                 dropout, step_key = jax.random.split(key)
                 denoise = lambda x, t, c: model.apply(
-                    params, x, t, c, deterministic=False,
-                    rngs={"dropout": dropout},
+                    params, x, t, c, **apply_kwargs(dropout)
                 )
                 return ddpm_loss(denoise, sched, future, past, step_key)
 
@@ -163,8 +170,7 @@ class Trainer:
                 past, future = batch
                 dropout, step_key = jax.random.split(key)
                 u_fn = lambda x, t, c: model.apply(
-                    params, x, t, c, deterministic=False,
-                    rngs={"dropout": dropout},
+                    params, x, t, c, **apply_kwargs(dropout)
                 )
                 return fm_loss(
                     u_fn, future, past, step_key, w_type=w_type,
@@ -198,6 +204,7 @@ class Trainer:
         if not os.path.isdir(path):
             return False
         self.load(path)
+        self._resumed = True
         logging.info("resumed from emergency checkpoint %s", path)
         return True
 
@@ -282,13 +289,32 @@ class Trainer:
         save_dir = cfg.DATA_FS.SAVE_DIR
         keep = cfg.get_path(f"MODEL.{self.family.upper()}.CHECKPOINTS_TO_KEEP", 0)
         rng = np.random.default_rng(self.seed)
-        late = rng.integers(int(epochs * 0.75), epochs + 1, size=keep) if keep else []
+        late = []
+        if keep:
+            # Sample WITHOUT replacement from the last-25% window (reference
+            # ddpm.py:168-170): duplicates would silently save fewer than
+            # the configured number of late checkpoints.
+            lo = max(1, int(epochs * 0.75))
+            pool = np.arange(lo, epochs + 1)
+            late = rng.choice(pool, size=min(keep, len(pool)), replace=False)
 
         own_tracker = tracker is None
         if own_tracker:
             tracker = RunTracker(self.run_dir, config=cfg, use_wandb=False)
 
         best = float("inf")
+        if getattr(self, "_resumed", False):
+            # A resumed run must not overwrite '000' with its first epoch
+            # when the pre-crash best was better — seed `best` from the
+            # existing best-loss checkpoint's metadata.  Fresh runs keep
+            # best=inf so they can replace a stale '000' from an old run.
+            prev_meta = ckpt.read_metadata(os.path.join(
+                save_dir, ckpt.checkpoint_name(cfg, self.arch, "000")
+            ))
+            if prev_meta and isinstance(
+                prev_meta.get("epoch_loss"), (int, float)
+            ):
+                best = float(prev_meta["epoch_loss"])
         nan_streak = 0
         completed = False
         aborted = False
@@ -400,9 +426,11 @@ class Trainer:
 
     def evaluate(self, ds: WindowDataset) -> float:
         # Cache the jitted eval loss — re-jitting per call would recompile
-        # every epoch.
+        # every epoch.  Dropout is OFF here (reference model.eval()
+        # semantics): the training closure would stochastically inflate
+        # every epoch's val_loss.
         if not hasattr(self, "_eval_loss"):
-            self._eval_loss = jax.jit(self._loss_fn())
+            self._eval_loss = jax.jit(self._loss_fn(deterministic=True))
         loss_fn = self._eval_loss
         key = jax.random.PRNGKey(0)
         losses = []
@@ -414,6 +442,13 @@ class Trainer:
         for batch in ds.batches(
             batch_size, shuffle=False, drop_last=len(ds) >= batch_size
         ):
+            if self.mesh is not None:
+                # Shard the val batch like the train path does: jit would
+                # accept the device-0-committed gather output but reshard it
+                # through one device on every eval step.
+                from crowdmod_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
             key, sub = jax.random.split(key)
             losses.append(loss_fn(self.state.params, batch, sub))
         return float(jnp.mean(jnp.stack(losses)))

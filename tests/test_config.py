@@ -79,3 +79,44 @@ def test_gen_configs_is_in_sync(tmp_path, monkeypatch, capsys):
         assert (tmp_path / rel).read_text() == (
             repo / "configs" / rel
         ).read_text(), f"configs/{rel} out of sync with tools/gen_configs.py"
+
+
+def test_schema_defaults_materialized(atc_cfg, tmp_path):
+    """load_config fills schema defaults so optional keys are real
+    attributes at runtime, and preserves unknown keys."""
+    import yaml
+
+    from crowdmod_tpu.config import load_config
+
+    d = atc_cfg.to_dict()
+    del d["MODEL"]["DDPM"]["SCALE"]
+    d["MODEL"]["FM"].pop("INTEGRATOR", None)
+    d["CUSTOM_ANNOTATION"] = {"x": 1}
+    p = tmp_path / "partial.yml"
+    with open(p, "w") as f:
+        yaml.safe_dump(d, f)
+    cfg = load_config(p)
+    assert cfg.MODEL.DDPM.SCALE == 1.0          # schema default
+    assert cfg.MODEL.FM.INTEGRATOR == "Euler"   # schema default
+    assert cfg.MODEL.DDPM.UNET.NUM_RES_BLOCKS == 1
+    assert cfg.MODEL.DDPM.UNET.TRAIN.SOLVER.SCHEDULER.FACTOR == 0.5
+    assert cfg.CUSTOM_ANNOTATION.x == 1         # unknown keys survive
+    # Explicit values always win over defaults.
+    assert cfg.DATASET.BATCH_SIZE == atc_cfg.DATASET.BATCH_SIZE
+
+
+def test_convrnn_geometry_validation(atc_cfg):
+    from crowdmod_tpu.config.validate import validate_config
+
+    bad = atc_cfg.updated({"MACROPROPS": {"ROWS": 10}})
+    problems = validate_config(bad, "ConvRNN")
+    assert any("divisible by 4" in p for p in problems), problems
+    ok = validate_config(atc_cfg, "ConvRNN")
+    assert not ok
+
+
+def test_structure_raises_on_missing_required():
+    from crowdmod_tpu.config.schema import TypedConfig, structure
+
+    with pytest.raises(ValueError, match="required field is missing"):
+        structure(TypedConfig, {"DATASET": {}})

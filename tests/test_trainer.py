@@ -512,3 +512,77 @@ def test_nan_watchdog_aborts_without_completing(smoke_cfg, tmp_path):
     assert hist["aborted"] is True
     assert len(hist["train_loss"]) == 3  # stopped at the watchdog, not 10
     assert os.path.isdir(stale), "failed run must not GC prior checkpoints"
+
+
+def test_eval_loss_is_deterministic_mode(smoke_cfg, tmp_path):
+    """evaluate() must run the model with dropout OFF (reference
+    model.eval() semantics); the training closure must keep it ON."""
+    cfg = tiny_cfg(
+        smoke_cfg, tmp_path,
+        DDPM={"TIMESTEPS": 10, "CHECKPOINTS_TO_KEEP": 0, "UNET": {
+            "BASE_CH": 8, "BASE_CH_MULT": [1, 2],
+            "APPLY_ATTENTION": [False, False], "DROPOUT_RATE": 0.5,
+            "TRAIN": {"EPOCHS": 1},
+        }},
+    )
+    ds = walker_ds(cfg)
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run")).setup()
+    past, future = ds.gather(np.arange(4))
+    key = jax.random.PRNGKey(7)
+    eval_loss = tr._loss_fn(deterministic=True)
+    train_loss = tr._loss_fn()
+    e1 = float(eval_loss(tr.state.params, (past, future), key))
+    e2 = float(eval_loss(tr.state.params, (past, future), key))
+    t1 = float(train_loss(tr.state.params, (past, future), key))
+    assert e1 == e2
+    # At 50% dropout the train-mode loss must differ from the eval loss.
+    assert abs(t1 - e1) > 1e-9
+    # evaluate() itself returns a finite deterministic value.
+    v1, v2 = tr.evaluate(ds), tr.evaluate(ds)
+    assert np.isfinite(v1) and v1 == v2
+
+
+def test_resume_does_not_clobber_best_checkpoint(smoke_cfg, tmp_path):
+    """After resume_from_abort, a worse first epoch must not overwrite the
+    pre-crash best-loss '000' checkpoint."""
+    from crowdmod_tpu.train import checkpoint as ckpt
+
+    cfg = tiny_cfg(smoke_cfg, tmp_path)
+    ds = walker_ds(cfg)
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run")).setup()
+    save_dir = cfg.DATA_FS.SAVE_DIR
+    # Pre-crash state: a best checkpoint with an unbeatably low loss and an
+    # abort checkpoint to resume from.
+    tr.save(save_dir, "000", extra={"epoch_loss": 1e-12})
+    tr.save(save_dir, "abort")
+    tr2 = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run2"))
+    assert tr2.resume_from_abort()
+    tr2.fit(ds, epochs=1)
+    best = os.path.join(save_dir, checkpoint_name(cfg, "DDPM-UNet", "000"))
+    meta = ckpt.read_metadata(best)
+    assert meta["epoch_loss"] == 1e-12, "resume overwrote the best checkpoint"
+    # A FRESH run (no resume) still replaces the stale best.
+    tr3 = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run3"))
+    tr3.fit(ds, epochs=1)
+    meta = ckpt.read_metadata(best)
+    assert meta["epoch_loss"] != 1e-12
+
+
+def test_late_checkpoint_epochs_distinct(smoke_cfg, tmp_path):
+    """CHECKPOINTS_TO_KEEP late epochs are drawn without replacement."""
+    cfg = tiny_cfg(
+        smoke_cfg, tmp_path,
+        DDPM={"TIMESTEPS": 10, "CHECKPOINTS_TO_KEEP": 3, "UNET": {
+            "BASE_CH": 8, "BASE_CH_MULT": [1, 2],
+            "APPLY_ATTENTION": [False, False], "DROPOUT_RATE": 0.0,
+            "TRAIN": {"EPOCHS": 4},
+        }},
+    )
+    ds = walker_ds(cfg)
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run"))
+    tr.fit(ds, epochs=4)
+    tags = [d.split("_CE")[-1].split("_")[0]
+            for d in os.listdir(cfg.DATA_FS.SAVE_DIR)]
+    numbered = [t for t in tags if t.isdigit() and t != "000"]
+    # Pool is epochs {3, 4}; keep=3 must save both, not fewer via duplicates.
+    assert len(numbered) == 2

@@ -14,8 +14,6 @@ Usage::
 from __future__ import annotations
 
 import argparse
-import os as _os
-# tanh GELU is the TPU default since round 2 (dit.py::_gelu_exact)
 import json
 import os
 import sys

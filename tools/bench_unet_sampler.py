@@ -80,8 +80,8 @@ def calibrate():
         raise SystemExit("calibration exceeds hardware peak — timing broken")
 
 
-def bench_op(make_out, coupler, iters=30):
-    """Time ``make_out(x)`` chained on device via a scalar coupler.
+def bench_op(coupler, iters=30):
+    """Build an on-device timing loop for an op, chained via ``coupler``.
 
     ``coupler(x, s)`` must return a valid input given carry scalar ``s`` —
     the data dependency that stops XLA/the terminal from collapsing the
@@ -130,7 +130,7 @@ def conv_table():
         )
         k16 = k.astype(jnp.bfloat16)
         coupler = lambda x, s: x + s
-        harness = bench_op(None, coupler, iters)
+        harness = bench_op(coupler, iters)
 
         def run_variant(op):
             fn = harness(op)

@@ -15,7 +15,6 @@ Run: ``python tools/gen_configs.py`` (rewrites configs/ in place).
 
 from __future__ import annotations
 
-import copy
 from pathlib import Path
 
 import yaml
