@@ -163,10 +163,15 @@ def ddim_sample(
             "the DDIM path supports Sparsity/None guidance only "
             "(reference ddpm.py:267 applies no mass guidance in DDIM)"
         )
+    if guidance not in ("None", "Sparsity"):
+        # Same contract as the DDPM path's _apply_guidance: an unknown
+        # string must raise, not silently sample unguided.
+        raise ValueError(
+            f"unknown guidance {guidance!r}; expected ('None', 'Sparsity')"
+        )
     k_init, k_loop = jax.random.split(key)
     x0 = jax.random.normal(k_init, sample_shape, dtype=jnp.float32)
     b = sample_shape[0]
-    ndim = len(sample_shape)
 
     last_t = sched.timesteps - 1
     carry0 = (

@@ -52,6 +52,7 @@ def dpm_solver_sample(
         )
     b = sample_shape[0]
     x = jax.random.normal(key, sample_shape, dtype=jnp.float32)
+    x_init = x
 
     ts = dpm_timesteps(sched.timesteps, steps)  # (steps+1,) descending
     alpha = sched.sqrt_alpha_bar
@@ -69,6 +70,7 @@ def dpm_solver_sample(
     x0_prev = x0_of(x, t0)
     h0 = lam[t1] - lam[t0]
     x = (sigma[t1] / sigma[t0]) * x - alpha[t1] * jnp.expm1(-h0) * x0_prev
+    x_first = x
 
     def body(carry, idx):
         x, x0_prev, t_prev2 = carry
@@ -85,4 +87,9 @@ def dpm_solver_sample(
     (x, _, _), traj = jax.lax.scan(
         body, (x, x0_prev, t0), jnp.arange(1, steps)
     )
-    return (x, traj) if history else x
+    if history:
+        # Same layout contract as ddpm_sample/ddim_sample: entry 0 is the
+        # initial noise, followed by every solver state — steps+1 entries
+        # (the first-order step's state included).
+        return x, jnp.concatenate([x_init[None], x_first[None], traj], axis=0)
+    return x

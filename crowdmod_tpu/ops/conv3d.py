@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-IMPLS = ("direct", "split_t", "fold_t", "pallas")
+IMPLS = ("direct", "split_t", "fold_t", "pallas", "pallas_tap")
 
 
 def default_impl() -> str:
@@ -39,6 +39,33 @@ def default_impl() -> str:
     return impl
 
 
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv3d_pallas(x, kernel, variant):
+    from crowdmod_tpu.ops.pallas.conv3d import (
+        conv3d_same_im2col,
+        conv3d_same_tapgemm,
+    )
+
+    fn = conv3d_same_im2col if variant == "pallas" else conv3d_same_tapgemm
+    return fn(x, kernel, compute_dtype=x.dtype)
+
+
+def _conv3d_pallas_fwd(x, kernel, variant):
+    return _conv3d_pallas(x, kernel, variant), (x, kernel)
+
+
+def _conv3d_pallas_bwd(variant, res, g):
+    x, kernel = res
+    _, vjp = jax.vjp(lambda xx, kk: conv3d_same(xx, kk, "direct"), x, kernel)
+    return vjp(g)
+
+
+_conv3d_pallas.defvjp(_conv3d_pallas_fwd, _conv3d_pallas_bwd)
+
+
 def conv3d_same(x: jnp.ndarray, kernel: jnp.ndarray, impl: str) -> jnp.ndarray:
     """Stride-1 SAME 3-D conv over ``(B, T, H, W, Cin)`` with kernel
     ``(3, 3, 3, Cin, Cout)``; returns ``(B, T, H, W, Cout)``."""
@@ -50,13 +77,13 @@ def conv3d_same(x: jnp.ndarray, kernel: jnp.ndarray, impl: str) -> jnp.ndarray:
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         )
 
-    if impl == "pallas":
-        # Weight-resident im2col GEMM (ops/pallas/conv3d.py): K = 27·Cin
+    if impl in ("pallas", "pallas_tap"):
+        # Weight-resident Pallas GEMMs (ops/pallas/conv3d.py): K = 27·Cin
         # fills the MXU's systolic depth that the native conv leaves 3/4
-        # idle at Cin = 32.  Forward-only (no VJP) — sampler hot path.
-        from crowdmod_tpu.ops.pallas.conv3d import conv3d_same_im2col
-
-        return conv3d_same_im2col(x, kernel, compute_dtype=x.dtype)
+        # idle at Cin = 32.  The kernels are forward-only; the custom VJP
+        # below differentiates through the math-identical direct conv so
+        # `crowdmod train` under CROWDMOD_CONV3D_IMPL=pallas still works.
+        return _conv3d_pallas(x, kernel, impl)
 
     conv2d = lambda x2, k2: jax.lax.conv_general_dilated(
         x2, k2, (1, 1), "SAME",

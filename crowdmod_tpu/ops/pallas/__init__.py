@@ -47,12 +47,23 @@ def pallas_mode(op: str | None = None) -> str:
     Resolution order: ``CROWDMOD_FORCE_PALLAS`` (global override) →
     ``CROWDMOD_PALLAS_<OP>`` → measured per-op default.
     """
-    forced = os.environ.get("CROWDMOD_FORCE_PALLAS", "")
-    if forced in ("interpret", "compiled", "off"):
+    valid = ("interpret", "compiled", "off")
+
+    def _get(var: str) -> str:
+        # A typo must raise, not silently fall through to the default —
+        # that would mislabel benchmark/CI runs (same contract as
+        # ops/conv3d.py's CROWDMOD_CONV3D_IMPL).
+        val = os.environ.get(var, "")
+        if val and val not in valid:
+            raise ValueError(f"{var}={val!r}; expected one of {valid}")
+        return val
+
+    forced = _get("CROWDMOD_FORCE_PALLAS")
+    if forced:
         return forced
     if op:
-        per_op = os.environ.get(f"CROWDMOD_PALLAS_{op.upper()}", "")
-        if per_op in ("interpret", "compiled", "off"):
+        per_op = _get(f"CROWDMOD_PALLAS_{op.upper()}")
+        if per_op:
             return per_op
         default = DEFAULT_MODES.get(op, "off")
     else:

@@ -14,8 +14,10 @@ Reference workload this accelerates: the per-step denoiser of
 /root/reference/models/diffusion/ddpm.py:206-236 (UNet at
 models/backbones/unet.py:124-167).
 
-Forward-only: the sampler is the hot path; training keeps the XLA conv
-(same parameters — the lowering is selected per call, see ops/conv3d.py).
+The kernels here define only the forward pass; ``ops/conv3d.py`` wraps them
+in a custom VJP that differentiates through the math-identical direct XLA
+conv, so training under ``CROWDMOD_CONV3D_IMPL=pallas`` works (the sampler
+remains the hot path these kernels target).
 """
 
 from __future__ import annotations

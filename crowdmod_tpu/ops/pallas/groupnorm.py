@@ -132,6 +132,14 @@ def fused_group_norm(
     mode = mode or pallas_mode("groupnorm")
     gamma = gamma.reshape(-1)
     beta = beta.reshape(-1)
+    if x.shape[-1] % num_groups:
+        # The kernel's one-hot membership silently zeroes the remainder
+        # channels; the reference path raises on the group reshape.  Fail
+        # identically on both routings.
+        raise ValueError(
+            f"channels ({x.shape[-1]}) must be divisible by "
+            f"num_groups ({num_groups})"
+        )
     if mode == "off":
         return group_norm_reference(x, gamma, beta, num_groups, eps, silu)
     shape = x.shape

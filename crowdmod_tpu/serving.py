@@ -76,7 +76,10 @@ class Predictor:
         self.batch_buckets = tuple(sorted(batch_buckets))
         self._trainer = Trainer(cfg, arch, mesh=mesh, seed=seed)
         self._trainer.load(checkpoint_path)
-        self._compiled: dict[int, object] = {}
+        # One jitted callable; jit's own cache keys on the (padded) batch
+        # shape, so each bucket compiles exactly once.
+        trainer = self._trainer
+        self._sampler = jax.jit(lambda past, key: trainer.sample(past, key))
         self._key = jax.random.PRNGKey(seed)
         self.stats = PredictorStats()
         self._lock = threading.Lock()
@@ -84,16 +87,6 @@ class Predictor:
         self._shape = (p, f, h, w, self._trainer.mprops_count)
 
     # ------------------------------------------------------------------
-    def _sampler_for(self, batch: int):
-        if batch not in self._compiled:
-            trainer = self._trainer
-
-            def run(past, key):
-                return trainer.sample(past, key)
-
-            self._compiled[batch] = jax.jit(run)
-        return self._compiled[batch]
-
     def _bucket(self, n: int) -> int:
         for b in self.batch_buckets:
             if n <= b:
@@ -113,7 +106,7 @@ class Predictor:
                 from crowdmod_tpu.parallel.mesh import shard_batch
 
                 past = shard_batch(past, self.mesh)
-            out = self._sampler_for(b)(past, self._key)
+            out = self._sampler(past, self._key)
             jax.block_until_ready(out)
             logging.info("warmed bucket %d", b)
         return self
@@ -141,7 +134,7 @@ class Predictor:
             if key is None:
                 self._key, key = jax.random.split(self._key)
             t0 = time.perf_counter()
-            out = self._sampler_for(bucket)(x, key)
+            out = self._sampler(x, key)
             out = np.asarray(jax.block_until_ready(out))[:n]
             self.stats.record(n, time.perf_counter() - t0)
         return out

@@ -30,7 +30,7 @@ from crowdmod_tpu.train.trainer import Trainer
 def main():
     # 1. Config: the YAML schema is the reference project's — override what
     #    you need as a plain dict.
-    cfg = load_config("configs/4test/ATC.yml").updated({
+    cfg = load_config("4test/ATC.yml").updated({
         "DATA_FS": {"SAVE_DIR": "/tmp/qs_ckpts", "OUTPUT_DIR": "/tmp/qs_out"},
         "DATASET": {"BATCH_SIZE": 16},
         "MACROPROPS": {"ROWS": 8, "COLS": 12},   # small grid → fast anywhere

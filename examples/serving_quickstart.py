@@ -36,7 +36,7 @@ from crowdmod_tpu.train.trainer import Trainer
 
 def main():
     h, w = 8, 12
-    cfg = load_config("configs/4test/ATC.yml").updated({
+    cfg = load_config("4test/ATC.yml").updated({
         "DATA_FS": {"SAVE_DIR": "/tmp/serve_qs/ckpts",
                     "OUTPUT_DIR": "/tmp/serve_qs/out"},
         "DATASET": {"BATCH_SIZE": 16},

@@ -85,3 +85,34 @@ def test_dpm_steps_exceeding_timesteps_rejected():
             lambda x, t, c: x, sched, None, jax.random.PRNGKey(0),
             (2, 3, 4, 4, 3), steps=10,
         )
+
+
+def test_dpm_history_layout_matches_sibling_samplers():
+    """history=True returns steps+1 entries with the initial noise first —
+    the same contract ddpm_sample/ddim_sample document."""
+    sched = linear_schedule(50)
+    denoise = lambda x, t, c: jnp.zeros_like(x)
+    shape = (2, 3, 4, 6, 3)
+    key = jax.random.PRNGKey(0)
+    steps = 7
+    x, traj = dpm_solver_sample(
+        denoise, sched, None, key, shape, steps=steps, history=True
+    )
+    assert traj.shape == (steps + 1,) + shape
+    # Entry 0 is the pure initial noise; the final entry is the returned x.
+    k_init = key
+    noise = jax.random.normal(k_init, shape, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(traj[0]), np.asarray(noise))
+    np.testing.assert_array_equal(np.asarray(traj[-1]), np.asarray(x))
+
+
+def test_ddim_unknown_guidance_rejected():
+    from crowdmod_tpu.models.diffusion import ddim_sample
+
+    sched = linear_schedule(20)
+    denoise = lambda x, t, c: jnp.zeros_like(x)
+    with pytest.raises(ValueError, match="unknown guidance"):
+        ddim_sample(
+            denoise, sched, None, jax.random.PRNGKey(0), (2, 3, 4, 6, 3),
+            taus=jnp.arange(0, 19, 2), guidance="sparsity",
+        )

@@ -6,6 +6,8 @@ oracle (flax GroupNorm / einsum attention / composite reverse step), and
 (3) gradients flow through the custom-VJP wrappers.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -236,3 +238,56 @@ def test_conv3d_im2col_matches_xla():
             np.asarray(out), np.asarray(ref), atol=2e-5,
             err_msg=f"im2col conv diverges at {cin}->{cout}",
         )
+
+
+def test_conv3d_pallas_impls_differentiable(monkeypatch):
+    """CROWDMOD_CONV3D_IMPL=pallas(_tap) must be trainable: the custom VJP
+    differentiates through the math-identical direct conv."""
+    from crowdmod_tpu.ops import conv3d as mod
+    from crowdmod_tpu.ops.pallas import conv3d as pk
+
+    monkeypatch.setattr(
+        pk, "conv3d_same_im2col",
+        functools.partial(pk.conv3d_same_im2col, interpret=True),
+    )
+    monkeypatch.setattr(
+        pk, "conv3d_same_tapgemm",
+        functools.partial(pk.conv3d_same_tapgemm, interpret=True),
+    )
+    x = rand(0, (1, 4, 4, 6, 4))
+    kernel = rand(1, (3, 3, 3, 4, 4)) * 0.1
+    ref_out = mod.conv3d_same(x, kernel, "direct")
+    ref_g = jax.grad(
+        lambda x, k: jnp.sum(mod.conv3d_same(x, k, "direct") ** 2),
+        argnums=(0, 1),
+    )(x, kernel)
+    for impl in ("pallas", "pallas_tap"):
+        out = mod.conv3d_same(x, kernel, impl)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   atol=1e-4)
+        g = jax.grad(
+            lambda x, k: jnp.sum(mod.conv3d_same(x, k, impl) ** 2),
+            argnums=(0, 1),
+        )(x, kernel)
+        for a, b in zip(g, ref_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_pallas_mode_rejects_typos(monkeypatch):
+    from crowdmod_tpu.ops.pallas import pallas_mode
+
+    monkeypatch.setenv("CROWDMOD_FORCE_PALLAS", "complied")
+    with pytest.raises(ValueError, match="CROWDMOD_FORCE_PALLAS"):
+        pallas_mode("attention")
+    monkeypatch.delenv("CROWDMOD_FORCE_PALLAS")
+    monkeypatch.setenv("CROWDMOD_PALLAS_ATTENTION", "on")
+    with pytest.raises(ValueError, match="CROWDMOD_PALLAS_ATTENTION"):
+        pallas_mode("attention")
+
+
+def test_groupnorm_rejects_indivisible_channels():
+    from crowdmod_tpu.ops.pallas.groupnorm import fused_group_norm
+
+    x = rand(0, (2, 5, 12))
+    with pytest.raises(ValueError, match="divisible"):
+        fused_group_norm(x, jnp.ones(12), jnp.zeros(12), num_groups=8)
