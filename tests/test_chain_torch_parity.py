@@ -143,3 +143,92 @@ def test_fm_integrator_chain_parity():
     out = heun_sample(denoise, past, key, shape, steps=steps,
                       time_max_pos=tmax)
     np.testing.assert_allclose(np.asarray(out), ref_heun, atol=5e-4)
+
+
+def _analytic_eps_np(x, t, T):
+    """A layout-free ε-model both sides can evaluate identically."""
+    return 0.1 * np.tanh(x) + 0.3 * np.sin(t / T)
+
+
+def test_production_ddpm_sample_matches_reference_formula():
+    """Drives the PRODUCTION ddpm_sample (fused-update path) and checks it
+    against the reference's DDPM.step formula over ForwardSampler buffers,
+    consuming the exact noise stream the sampler derives from its key —
+    the chain tests above hand-code the update, this one does not."""
+    from models.diffusion.forward import ForwardSampler
+
+    from crowdmod_tpu.core.schedule import linear_schedule
+    from crowdmod_tpu.models.diffusion import ddpm_sample
+
+    T = 20
+    sched = linear_schedule(T, scale=0.5)
+    shape = (2, 3, 4, 6, 3)
+
+    def denoise(x, t, c):
+        return 0.1 * jnp.tanh(x) + 0.3 * jnp.sin(
+            (t / T).reshape(-1, 1, 1, 1, 1)
+        )
+
+    key = jax.random.PRNGKey(42)
+    out = np.asarray(ddpm_sample(denoise, sched, None, key, shape))
+
+    ref = ForwardSampler(timesteps=T, scale=0.5)
+    k_init, k_loop = jax.random.split(key)
+    x = np.asarray(jax.random.normal(k_init, shape, dtype=jnp.float32))
+    for t in reversed(range(T)):
+        eps = _analytic_eps_np(x, t, T)
+        if t > 0:
+            z = np.asarray(jax.random.normal(
+                jax.random.fold_in(k_loop, t), shape, dtype=jnp.float32
+            ))
+        else:
+            z = np.zeros(shape, np.float32)
+        beta = float(ref.beta[t])
+        x = float(ref.one_by_sqrt_alpha[t]) * (
+            x - beta / float(ref.sqrt_one_minus_alpha_bar[t]) * eps
+        ) + np.sqrt(beta) * z
+    np.testing.assert_allclose(out, x, rtol=3e-4, atol=3e-4)
+
+
+def test_production_ddim_sample_matches_reference_formula():
+    """Same oracle pattern for the production ddim_sample: the reference's
+    Eq. 12 recurrence (ddpm.py:238-282) in numpy over ForwardSampler
+    buffers, including the carried previous-step coefficients."""
+    from models.diffusion.forward import ForwardSampler
+
+    from crowdmod_tpu.core.schedule import ddim_tau_schedule, linear_schedule
+    from crowdmod_tpu.models.diffusion import ddim_sample
+
+    T = 20
+    sched = linear_schedule(T, scale=0.5)
+    shape = (2, 3, 4, 6, 3)
+    taus = ddim_tau_schedule(T, 3)
+
+    def denoise(x, t, c):
+        return 0.1 * jnp.tanh(x) + 0.3 * jnp.sin(
+            (t / T).reshape(-1, 1, 1, 1, 1)
+        )
+
+    for sigma in (0.0, 0.2):  # deterministic Eq. 12 AND the noise path
+        key = jax.random.PRNGKey(7)
+        out = np.asarray(ddim_sample(
+            denoise, sched, None, key, shape, taus=taus, sigma=sigma
+        ))
+
+        ref = ForwardSampler(timesteps=T, scale=0.5)
+        k_init, k_loop = jax.random.split(key)
+        x = np.asarray(jax.random.normal(k_init, shape, dtype=jnp.float32))
+        sab_c = float(ref.sqrt_alpha_bar[T - 1])
+        somab_c = float(ref.sqrt_one_minus_alpha_bar[T - 1])
+        for t in np.asarray(taus)[::-1]:
+            eps = _analytic_eps_np(x, int(t), T)
+            sab_p = float(ref.sqrt_alpha_bar[int(t)])
+            somab_p = float(ref.sqrt_one_minus_alpha_bar[int(t)])
+            pred_x0 = (x - somab_c * eps) / sab_c
+            direction = np.sqrt(1.0 - sab_p**2 - sigma**2) * eps
+            z = np.asarray(jax.random.normal(
+                jax.random.fold_in(k_loop, int(t)), shape, dtype=jnp.float32
+            ))
+            x = sab_p * pred_x0 + direction + sigma * z
+            sab_c, somab_c = sab_p, somab_p
+        np.testing.assert_allclose(out, x, rtol=3e-4, atol=3e-4)

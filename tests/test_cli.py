@@ -135,6 +135,11 @@ def test_cli_train_resume_flag(workspace):
     rc = train.run(common + ["--resume", "--epochs", "1",
                              "--run-dir", str(ws["tmp"] / "r2")])
     assert rc == 0
+    # The flag must actually reach resume_from_abort — not silently fall
+    # back to a fresh run (rc would still be 0).
+    log = open(os.path.join(
+        cfg.DATA_FS.OUTPUT_DIR, "logs", "train.log")).read()
+    assert "resumed from emergency checkpoint" in log
 
 
 def test_cli_dispatch_params_and_compare(workspace, capsys, tmp_path):

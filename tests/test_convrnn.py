@@ -79,8 +79,10 @@ def test_convrnn_loss_terms():
     rloss, vloss, occ, emp = convrnn_loss(pred, target)
     # rho matches exactly (exp(0)=1 == gt 1) → zero KL.
     np.testing.assert_allclose(float(rloss), 0.0, atol=1e-5)
-    # All cells occupied → empty term is ~0, occupied term 0 (all zeros/1s).
+    # All cells occupied → empty term is ~0; the occupied-velocity MSE is 0
+    # too (pred and target velocities both all-zero).
     assert float(emp) < 1e-6
+    assert float(occ) < 1e-6
     assert np.isfinite(float(vloss))
 
 

@@ -56,9 +56,10 @@ def test_dpm_close_to_ddpm_mean_for_linear_model():
     b = ddpm_sample(denoise, sched, None, jax.random.PRNGKey(0), shape)
     # Deterministic ODE vs stochastic chain: compare distributional scale.
     assert np.isfinite(np.asarray(a)).all()
+    assert np.isfinite(np.asarray(b)).all()
     ra = float(jnp.std(a))
     rb = float(jnp.std(b))
-    assert 0.3 < ra / rb < 3.0
+    assert 0.5 < ra / rb < 2.0
 
 
 def test_trainer_dpm_sampler_path(smoke_cfg, tmp_path):

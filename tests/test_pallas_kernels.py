@@ -72,6 +72,10 @@ def test_mha_module_routes_identically():
     base = m.apply(params, x)
     os.environ["CROWDMOD_FORCE_PALLAS"] = "interpret"
     try:
+        # Guard against a vacuous pass: the flip must actually re-route.
+        from crowdmod_tpu.ops.pallas import pallas_mode
+
+        assert pallas_mode("attention") == "interpret"
         fused = m.apply(params, x)
     finally:
         del os.environ["CROWDMOD_FORCE_PALLAS"]
@@ -152,6 +156,9 @@ def test_ddpm_sampler_unchanged_by_fusion(monkeypatch):
 
     base = ddpm_sample(denoise, sched, None, key, shape)
     monkeypatch.setenv("CROWDMOD_FORCE_PALLAS", "interpret")
+    from crowdmod_tpu.ops.pallas import pallas_mode
+
+    assert pallas_mode("fused_step") == "interpret"  # flip is live
     fused = ddpm_sample(denoise, sched, None, key, shape)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=1e-5)
 

@@ -120,11 +120,21 @@ def test_reverse_step_matches_reference():
             + jnp.sqrt(beta_t) * z
         )
         np.testing.assert_allclose(ours, ref_x, atol=1e-5)
-        # And the function under test agrees with the formula when t > 0
-        # (it draws its own z; check the deterministic part at z ⊥ x).
+        # And the function under test agrees with the formula: reconstruct
+        # its own z draw to check the full x_prev, not just the scalars.
+        key = jax.random.PRNGKey(0)
         out, sigma, alpha_t = ddpm_reverse_step(
-            sched, jnp.asarray(eps), jnp.asarray(x), jnp.int32(t),
-            jax.random.PRNGKey(0),
+            sched, jnp.asarray(eps), jnp.asarray(x), jnp.int32(t), key,
+        )
+        z_fn = np.asarray(jax.random.normal(key, x.shape, dtype=jnp.float32))
+        if t == 0:
+            z_fn = np.zeros_like(z_fn)
+        mean = np.asarray(
+            sched.one_by_sqrt_alpha[t]
+            * (x - beta_t / sched.sqrt_one_minus_alpha_bar[t] * eps)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), mean + np.sqrt(float(bt)) * z_fn, atol=1e-5
         )
         np.testing.assert_allclose(float(jnp.ravel(sigma)[0]), float(np.sqrt(bt)), atol=1e-6)
         np.testing.assert_allclose(float(jnp.ravel(alpha_t)[0]), float(1.0 - bt), atol=1e-6)

@@ -84,9 +84,27 @@ def test_reverse_undoes_forward_mean():
     mean = sched.one_by_sqrt_alpha[60] * (
         xt - sched.beta[60] / sched.sqrt_one_minus_alpha_bar[60] * eps
     )
-    # out = mean + sqrt(beta) z  →  ‖out - mean‖ should be ~sigma-scaled.
+    # out = mean + sqrt(beta) z exactly: the residual must BE the drawn
+    # z-noise (reconstructed from the key), and its spread must be
+    # sigma-scaled from both sides — a dropped eps term or missing noise
+    # would slip through a loose upper bound alone.
+    z = jax.random.normal(jax.random.PRNGKey(5), xt.shape, dtype=xt.dtype)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(mean + jnp.squeeze(sigma) * z), atol=1e-5
+    )
     resid = np.asarray(out - mean)
-    assert np.std(resid) < 3 * float(jnp.squeeze(sigma))
+    s = float(jnp.squeeze(sigma))
+    assert 0.8 * s < np.std(resid) < 1.2 * s
+    # And the mean itself recovers the scaled-x0 direction: with a perfect
+    # eps, mean == sqrt(alpha_bar[t-1])-scaled x0 up to the known algebra.
+    expected_mean = sched.one_by_sqrt_alpha[60] * (
+        sched.sqrt_alpha_bar[60] * x0
+        + (sched.sqrt_one_minus_alpha_bar[60]
+           - sched.beta[60] / sched.sqrt_one_minus_alpha_bar[60]) * eps
+    )
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(expected_mean), atol=1e-5
+    )
 
 
 def test_ddim_taus():

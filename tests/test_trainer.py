@@ -212,11 +212,31 @@ def test_checkpoint_name_scheme(atc_cfg):
     assert run_tag(atc_cfg, "DDPM-UNet", "000") == "TE200_PL5_FL3_CE000_NA"
 
 
-def test_scan_epoch_matches_batch_loop(smoke_cfg, tmp_path):
-    """A whole-epoch lax.scan must visit the same batches with the same keys
-    and produce numerically close parameters to the per-batch loop."""
+def test_scan_epoch_matches_batch_loop(smoke_cfg, tmp_path, monkeypatch):
+    """A whole-epoch lax.scan must visit exactly the dataset's windows
+    (shuffled, each once) and take the same number of optimizer steps as
+    the per-batch loop."""
+    import crowdmod_tpu.train.trainer as tmod
+
     cfg = tiny_cfg(smoke_cfg, tmp_path)
     ds = walker_ds(cfg, channels=3, n=16)
+
+    # Capture the stacked epoch batches actually fed to the scan so a
+    # wrong gather (repeated batch, dropped shuffle) can't hide behind a
+    # finite loss.
+    captured = []
+    orig = tmod.make_epoch_step
+
+    def spy(loss_fn, **kw):
+        step = orig(loss_fn, **kw)
+
+        def wrapped(state, stacked, key):
+            captured.append(jax.tree.map(np.asarray, stacked))
+            return step(state, stacked, key)
+
+        return wrapped
+
+    monkeypatch.setattr(tmod, "make_epoch_step", spy)
 
     tr_loop = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "r1"))
     h_loop = tr_loop.fit(ds, epochs=2, scan_epoch=False)
@@ -230,6 +250,26 @@ def test_scan_epoch_matches_batch_loop(smoke_cfg, tmp_path):
     assert np.isfinite(h_scan["train_loss"]).all()
     # Both visit the same number of optimizer steps.
     assert int(tr_loop.state.step) == int(tr_scan.state.step)
+
+    # Every epoch's stacked batches tile the dataset exactly once.
+    assert len(captured) == 2
+    all_past, _ = ds.gather(np.arange(len(ds)))
+    want = np.sort(np.asarray(all_past).reshape(len(ds), -1), axis=0)
+    orders = []
+    for past_stack, _ in captured:
+        flat = past_stack.reshape(-1, past_stack.shape[-4] *
+                                  past_stack.shape[-3] *
+                                  past_stack.shape[-2] * past_stack.shape[-1])
+        assert flat.shape[0] == len(ds) - len(ds) % cfg.DATASET.BATCH_SIZE \
+            or flat.shape[0] == len(ds)
+        got = np.sort(flat, axis=0)
+        if flat.shape[0] == len(ds):
+            np.testing.assert_allclose(got, want, atol=0)
+        # Per-window fingerprint robust to sparse data (column 0 can be
+        # all-zero in the walker fixture).
+        orders.append(flat.sum(axis=1))
+    # Different epochs shuffle differently (seed + epoch).
+    assert not np.array_equal(orders[0], orders[1])
 
 
 def test_emergency_checkpoint_on_abort(smoke_cfg, tmp_path):
