@@ -47,29 +47,53 @@ def device_prefetch(batches: Iterable, *, depth: int = 2,
     if depth < 1:
         raise ValueError("depth must be >= 1")
     q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # Bounded put so an abandoned consumer (break / exception / GC of
+        # the generator) releases the worker instead of leaking it blocked
+        # forever with depth+1 device batches pinned in HBM.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for batch in batches:
+                if stop.is_set():
+                    return
                 if sharding is not None:
                     batch = jax.device_put(batch, sharding)
                 else:
                     batch = jax.device_put(batch)
-                q.put(batch)
+                if not _put(batch):
+                    return
         except BaseException as e:  # noqa: BLE001 - forwarded to consumer
-            q.put(e)
+            _put(e)
             return
-        q.put(_SENTINEL)
+        _put(_SENTINEL)
 
     threading.Thread(target=worker, daemon=True,
                      name="crowdmod-prefetch").start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():  # drop buffered batches so HBM frees promptly
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def host_shard(files: Sequence, process_index: int | None = None,
@@ -163,27 +187,47 @@ class FileWindowStream:
         """
         q: queue.Queue = queue.Queue(maxsize=1)
         slot = threading.Semaphore(1)
+        stop = threading.Event()
+
+        def _acquire_slot() -> bool:
+            while not stop.is_set():
+                if slot.acquire(timeout=0.2):
+                    return True
+            return False
 
         def loader():
             try:
                 for path in self.files:
-                    slot.acquire()
+                    # Slot reservation doubles as the abandonment check:
+                    # when the consumer closes the generator, stop releases
+                    # the loader instead of leaking it (pinning ~2 files).
+                    if not _acquire_slot() or stop.is_set():
+                        return
                     q.put(self._load_host(path))
             except BaseException as e:  # noqa: BLE001
                 q.put(e)
                 return
-            q.put(_SENTINEL)
+            if _acquire_slot():
+                q.put(_SENTINEL)
 
         threading.Thread(target=loader, daemon=True,
                          name="crowdmod-file-loader").start()
-        while True:
-            item = q.get()
-            slot.release()
-            if item is _SENTINEL:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                slot.release()
+                if item is _SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():  # free the buffered file promptly
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
     def batches(self, batch_size: int, *, shuffle: bool = True,
                 seed: int = 0) -> Iterator:

@@ -52,10 +52,16 @@ def build_library(force: bool = False) -> Path | None:
                      else LIB_NAME.replace(".so", f".{san}.so"))
     if lib.exists() and not force and lib.stat().st_mtime >= SRC.stat().st_mtime:
         return lib
+    # Compile to a per-process temp and atomically rename into place:
+    # concurrent builders (two processes sharing the cache dir, or two
+    # threads racing the lru_cache miss) must never observe a half-written
+    # .so — a corrupt library with a fresh mtime would poison the cache for
+    # every future process.
+    tmp = out_dir / f"{lib.name}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
         "-march=native", "-funroll-loops",
-        str(SRC), "-o", str(lib),
+        str(SRC), "-o", str(tmp),
     ]
     if san is not None:
         cmd = [a for a in cmd if a != "-O3"]
@@ -67,6 +73,7 @@ def build_library(force: bool = False) -> Path | None:
         return None
     except subprocess.TimeoutExpired:
         logging.warning("native build timed out; falling back to numpy paths")
+        tmp.unlink(missing_ok=True)
         return None
     except subprocess.CalledProcessError as e:
         # -march=native can fail on exotic hosts; retry generic.
@@ -77,5 +84,7 @@ def build_library(force: bool = False) -> Path | None:
             logging.warning(
                 "native build failed:\n%s", e.stderr.decode(errors="replace")
             )
+            tmp.unlink(missing_ok=True)
             return None
+    os.replace(tmp, lib)
     return lib

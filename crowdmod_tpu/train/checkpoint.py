@@ -61,9 +61,12 @@ def _checkpointer():
 # One process-wide async checkpointer so in-flight saves are tracked and
 # waited on; created lazily (orbax spins up a thread pool).
 _ASYNC: Any = None
-# (checkpoint dir, sidecar path) pairs whose metadata moves into the dir
-# once the async commit finishes.
-_PENDING_META: list = []
+# (staging dir, final dir, sidecar path | None) triples: the async save
+# commits into the staging dir; wait_for_saves swaps it into place and folds
+# the metadata sidecar in.
+_PENDING: list = []
+
+_STAGE_SUFFIX = ".pending"
 
 
 def _async_checkpointer():
@@ -76,14 +79,25 @@ def _async_checkpointer():
 
 
 def wait_for_saves() -> None:
-    """Block until every async checkpoint save has committed to disk, then
-    fold sidecar metadata into the committed directories."""
+    """Block until every async checkpoint save has committed, then swap each
+    staged directory into its final place and fold in sidecar metadata.
+
+    The swap-after-commit ordering means the PREVIOUS checkpoint at the
+    final path stays intact until its replacement is fully on disk — a hard
+    kill mid-commit can never leave the run with no checkpoint at all.
+    """
+    import shutil
+
     if _ASYNC is not None:
         _ASYNC.wait_until_finished()
-    while _PENDING_META:
-        directory, sidecar = _PENDING_META.pop()
-        if directory.is_dir() and sidecar.exists():
-            sidecar.replace(directory / "metadata.json")
+    while _PENDING:
+        staged, final, sidecar = _PENDING.pop()
+        if staged.is_dir():
+            if sidecar is not None and sidecar.exists():
+                sidecar.replace(staged / "metadata.json")
+            if final.exists():
+                shutil.rmtree(final)
+            staged.replace(final)
 
 
 def save_checkpoint(
@@ -109,27 +123,43 @@ def save_checkpoint(
     # race a prior one to the same directory, and so the documented
     # "save once more synchronously" flush contract actually holds.
     wait_for_saves()
-    if directory.exists():
-        # orbax refuses to overwrite; mirror torch.save's replace semantics.
-        import shutil
+    import shutil
 
-        shutil.rmtree(directory)
     host_state = jax.device_get(state)
     if async_save:
-        _async_checkpointer().save(directory, host_state)
-        # orbax commits by renaming a tmp dir into place — metadata goes to
-        # a sidecar so it never races the rename; wait_for_saves folds it in.
+        # Stage into a sibling dir and swap in wait_for_saves AFTER the
+        # background commit: the current checkpoint at `directory` survives
+        # until its replacement is complete (no window with no checkpoint).
+        staged = Path(f"{directory}{_STAGE_SUFFIX}")
+        if staged.exists():
+            shutil.rmtree(staged)
+        _async_checkpointer().save(staged, host_state)
+        sidecar = None
         if metadata is not None:
+            # The sidecar is written from THIS thread; it must not race the
+            # background commit's directory rename, so it lives next to the
+            # staging dir until the swap.
             sidecar = Path(f"{directory}.meta.json")
-            with open(sidecar, "w") as f:
-                json.dump(metadata, f, indent=2, default=str)
-            _PENDING_META.append((directory, sidecar))
+            _atomic_json(sidecar, metadata)
+        _PENDING.append((staged, Path(directory), sidecar))
     else:
+        if directory.exists():
+            # orbax refuses to overwrite; mirror torch.save's replace
+            # semantics.
+            shutil.rmtree(directory)
         _checkpointer().save(directory, host_state)
         if metadata is not None:
-            with open(directory / "metadata.json", "w") as f:
-                json.dump(metadata, f, indent=2, default=str)
+            _atomic_json(directory / "metadata.json", metadata)
     return str(directory)
+
+
+def _atomic_json(path: Path, payload: dict) -> None:
+    """Write JSON via temp+rename so a mid-write kill can't leave a
+    truncated file that breaks every later resume."""
+    tmp = Path(f"{path}.tmp{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2, default=str)
+    tmp.replace(path)
 
 
 def load_checkpoint(directory: str | os.PathLike, template: Any | None = None):
@@ -152,12 +182,26 @@ def load_checkpoint(directory: str | os.PathLike, template: Any | None = None):
 
 def read_metadata(directory: str | os.PathLike) -> dict | None:
     """Read a checkpoint's metadata.json (or its async-save sidecar) without
-    restoring the state pytree."""
+    restoring the state pytree.
+
+    Tolerates a truncated/corrupt file (→ None): metadata is advisory and a
+    half-written file from a hard kill must not break every later resume.
+    The sidecar fallback is only honored while the checkpoint directory
+    itself exists — an orphaned sidecar describes a checkpoint that was
+    never committed.
+    """
     directory = Path(directory).absolute()
     meta_path = directory / "metadata.json"
     if not meta_path.exists():
+        if not directory.is_dir():
+            return None
         meta_path = Path(f"{directory}.meta.json")  # async-save sidecar
-    return json.loads(meta_path.read_text()) if meta_path.exists() else None
+    if not meta_path.exists():
+        return None
+    try:
+        return json.loads(meta_path.read_text())
+    except (json.JSONDecodeError, OSError):
+        return None
 
 
 def gc_checkpoints(
@@ -209,6 +253,16 @@ def gc_checkpoints(
         name = entry.name
         if name.endswith(".orbax-checkpoint-tmp"):
             stem = name[: -len(".orbax-checkpoint-tmp")]
+            # Also covers staging dirs' own orbax tmps (X.pending.orbax-…).
+            if stem.endswith(_STAGE_SUFFIX):
+                stem = stem[: -len(_STAGE_SUFFIX)]
+            if stem.startswith(pre) and stem.endswith(post):
+                _rm(entry)
+            continue
+        if name.endswith(_STAGE_SUFFIX):
+            # Orphaned staging dir from an async save that never swapped
+            # (crashed mid-commit).
+            stem = name[: -len(_STAGE_SUFFIX)]
             if stem.startswith(pre) and stem.endswith(post):
                 _rm(entry)
             continue

@@ -409,7 +409,12 @@ class Trainer:
                 logging.exception("emergency checkpoint failed")
             raise
         finally:
-            ckpt.wait_for_saves()
+            # A failed async commit must not mask the real training error
+            # (or abort the finally before the tracker closes its handles).
+            try:
+                ckpt.wait_for_saves()
+            except Exception:
+                logging.exception("async checkpoint commit failed")
             if own_tracker:
                 tracker.finish()
         if completed:

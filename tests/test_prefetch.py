@@ -258,3 +258,54 @@ def test_files_ahead_two_file_budget(tmp_path, monkeypatch):
     with pytest.raises(StopIteration):
         next(it)
     assert loads == paths
+
+
+def _alive(name: str) -> int:
+    import threading
+
+    return sum(
+        t.is_alive() and t.name == name for t in threading.enumerate()
+    )
+
+
+def _wait_until(cond, timeout=5.0):
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if cond():
+            return True
+        time.sleep(0.05)
+    return cond()
+
+
+def test_device_prefetch_releases_worker_on_abandon():
+    """Closing the generator early must release the worker thread (and the
+    device batches it holds) instead of leaking it blocked on put."""
+    base = _alive("crowdmod-prefetch")
+    src = (np.zeros((2, 2), np.float32) for _ in range(1000))
+    it = device_prefetch(src, depth=1)
+    next(it)
+    it.close()
+    assert _wait_until(lambda: _alive("crowdmod-prefetch") <= base), \
+        "prefetch worker leaked after generator close"
+
+
+def test_file_stream_releases_loader_on_abandon(tmp_path):
+    base = _alive("crowdmod-file-loader")
+    h, w, L = 4, 6, 12
+    paths = []
+    rng = np.random.default_rng(0)
+    for k in range(6):
+        arr = rng.normal(size=(2, 4, h, w, L)).astype(np.float32)
+        p = tmp_path / f"f{k}.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(arr, f)
+        paths.append(str(p))
+    stream = FileWindowStream(paths, past_len=5, future_len=3, stride=4,
+                              mprops_count=3)
+    it = stream._files_ahead()
+    next(it)
+    it.close()
+    assert _wait_until(lambda: _alive("crowdmod-file-loader") <= base), \
+        "file loader thread leaked after generator close"

@@ -626,3 +626,51 @@ def test_late_checkpoint_epochs_distinct(smoke_cfg, tmp_path):
     numbered = [t for t in tags if t.isdigit() and t != "000"]
     # Pool is epochs {3, 4}; keep=3 must save both, not fewer via duplicates.
     assert len(numbered) == 2
+
+
+def test_async_save_keeps_previous_checkpoint_until_commit(tmp_path):
+    """Replacing a checkpoint asynchronously must never leave a window with
+    no committed checkpoint: the old one stays loadable until the new one
+    has fully committed and swapped in (then GC of staging leftovers)."""
+    from crowdmod_tpu.train.checkpoint import (
+        load_checkpoint,
+        read_metadata,
+        save_checkpoint,
+        wait_for_saves,
+    )
+
+    path = tmp_path / "best"
+    v1 = {"params": {"w": jnp.zeros(4)}}
+    save_checkpoint(path, v1, {"epoch_loss": 1.0})  # committed sync
+
+    v2 = {"params": {"w": jnp.ones(4)}}
+    save_checkpoint(path, v2, {"epoch_loss": 0.5}, async_save=True)
+    # Old checkpoint still present and loadable while the new one commits.
+    restored, meta = load_checkpoint(path, template=v1)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.zeros(4))
+    wait_for_saves()
+    restored, meta = load_checkpoint(path, template=v2)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.ones(4))
+    assert meta["epoch_loss"] == 0.5
+    assert not (tmp_path / "best.pending").exists()
+    assert not (tmp_path / "best.meta.json").exists()
+
+
+def test_read_metadata_tolerates_corruption(tmp_path):
+    """A truncated metadata.json (hard kill mid-write) must not break
+    resume; an orphaned sidecar without its directory must not count."""
+    from crowdmod_tpu.train.checkpoint import read_metadata, save_checkpoint
+
+    path = tmp_path / "ck"
+    save_checkpoint(path, {"w": jnp.zeros(2)}, {"epoch_loss": 2.0})
+    assert read_metadata(path)["epoch_loss"] == 2.0
+    (path / "metadata.json").write_text('{"epoch_loss": 2.')  # truncated
+    assert read_metadata(path) is None
+    # Orphan sidecar: directory gone, sidecar left behind.
+    import shutil
+
+    shutil.rmtree(path)
+    (tmp_path / "ck.meta.json").write_text('{"epoch_loss": 0.1}')
+    assert read_metadata(path) is None
