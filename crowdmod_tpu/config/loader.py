@@ -17,7 +17,15 @@ from crowdmod_tpu.config.frozen import FrozenConfig
 
 
 def config_dir() -> Path:
-    """Directory holding the bundled dataset configs (``configs/`` at repo root)."""
+    """Directory holding the bundled dataset configs.
+
+    Defaults to ``configs/`` at the repo root (checkouts and editable
+    installs).  Non-editable wheel installs don't carry the repo layout —
+    point ``CROWDMOD_CONFIG_DIR`` at a configs directory there.
+    """
+    env = os.environ.get("CROWDMOD_CONFIG_DIR")
+    if env:
+        return Path(env)
     return Path(__file__).resolve().parents[2] / "configs"
 
 
