@@ -29,6 +29,15 @@ def test_two_file_merge(tmp_path):
     assert cfg.DATA_LIST == (("f1.pkl", 10), ("f2.pkl", 20))
 
 
+def test_config_dir_env_override(tmp_path, monkeypatch):
+    # Non-editable installs point CROWDMOD_CONFIG_DIR at their own configs
+    # directory; bare names must resolve there instead of the repo layout.
+    (tmp_path / "MINI.yml").write_text("DATASET: {NAME: mini}\n")
+    monkeypatch.setenv("CROWDMOD_CONFIG_DIR", str(tmp_path))
+    assert config_dir() == tmp_path
+    assert load_config("MINI.yml").DATASET.NAME == "mini"
+
+
 def test_override_merge(atc_cfg):
     cfg2 = atc_cfg.updated({"MODEL": {"DDPM": {"TIMESTEPS": 50}}})
     assert cfg2.MODEL.DDPM.TIMESTEPS == 50
