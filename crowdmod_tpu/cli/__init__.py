@@ -8,6 +8,7 @@ the ``crowdmod`` console script:
   * ``generate_metrics``  — repeated-past metric suite → CSV/manifest/boxplots
   * ``sweep``             — random-search hyperparameter sweeps
   * ``serve``             — HTTP inference server (batching, health, metrics)
+  * ``import-checkpoint`` — migrate a reference torch checkpoint
   * ``doctor``            — deployment environment self-check
 """
 
@@ -60,6 +61,7 @@ def main(argv: list[str] | None = None) -> int:
         "generate-metrics": "crowdmod_tpu.cli.generate_metrics",
         "sweep": "crowdmod_tpu.cli.sweep",
         "serve": "crowdmod_tpu.cli.serve",
+        "import-checkpoint": "crowdmod_tpu.cli.import_checkpoint",
         "compare": "crowdmod_tpu.viz.compare_models",
         "view": "crowdmod_tpu.viz.html_viewer",
         "params": "crowdmod_tpu.utils.model_info",

@@ -46,7 +46,7 @@ _SLOW_MODULES = {
     # Measured > 1 min/module on this host (round-2 timing pass): many-epoch
     # CPU trainings and the 8-device virtual-mesh compile storms.
     "test_backbones", "test_parallel", "test_convrnn", "test_dpm_solver",
-    "test_prefetch", "test_examples",
+    "test_prefetch", "test_examples", "test_torch_import",
 }
 
 
