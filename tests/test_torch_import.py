@@ -66,6 +66,52 @@ def test_unet_import_matches_parity_mapper(tmp_path):
     _assert_trees_equal(imported, map_params(ref))
 
 
+def test_unet_import_three_levels_with_attention(tmp_path):
+    """Deeper interleave than the parity fixture: 3 resolutions, 2 res
+    blocks, mixed attention — the structural walk must still recover
+    enc/down/dec/up naming purely from the keys."""
+    from models.backbones.unet import UNet as RefUNet
+
+    from crowdmod_tpu.models.backbones import UNet3D
+
+    torch.manual_seed(1)
+    ref = RefUNet(
+        input_channels=3, output_channels=3, num_res_blocks=2,
+        base_channels=8, base_channels_multiples=[1, 2, 4],
+        apply_attention=[False, True, False], dropout_rate=0.0,
+        time_multiple=4, condition="Past",
+    ).eval()
+    imported = import_torch_checkpoint(_save(ref, tmp_path), arch="DDPM-UNet")
+    ours = UNet3D(
+        out_channels=3, num_res_blocks=2, base_channels=8,
+        base_channels_multiples=(1, 2, 4), apply_attention=(False, True, False),
+        dropout_rate=0.0, time_multiple=4, condition="Past",
+    )
+    b, p, f = 2, 5, 3
+    h, w = 8, 12  # two halvings
+    init = ours.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((b, f, h, w, 3)), jnp.zeros((b,)), jnp.zeros((b, p, h, w, 3)),
+    )
+    verify_tree_matches(imported, init)
+    rng = np.random.default_rng(2)
+    past = rng.normal(size=(b, 3, h, w, p)).astype(np.float32)
+    future = rng.normal(size=(b, 3, h, w, f)).astype(np.float32)
+    t = np.array([1, 3])
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(future), torch.tensor(t), torch.tensor(past)
+        ).numpy()
+    to_native = lambda x: jnp.transpose(jnp.asarray(x), (0, 4, 2, 3, 1))
+    out = ours.apply(
+        jax.tree.map(jnp.asarray, imported),
+        to_native(future), jnp.asarray(t), to_native(past),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.transpose(out_ref, (0, 4, 2, 3, 1)), atol=2e-4
+    )
+
+
 def test_dit_factorized_import_matches_parity_mapper(tmp_path):
     import tests.test_dit_torch_parity as par
     from models.backbones.DiT4D_V4 import DiT4D_V4
