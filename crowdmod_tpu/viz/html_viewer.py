@@ -187,11 +187,39 @@ def generate_html(
     return output_html
 
 
+def load_models_file(path: str, main_dir: str | None = None) -> list[str]:
+    """Resolve a ``MODELS:`` YAML list (reference ``config/models_list.yml``,
+    used by gif_comparison_viewer.py:847's ``--models-file`` flag) to model
+    sample dirs, optionally prefixed with ``main_dir``."""
+    import yaml
+
+    with open(path) as f:
+        tree = yaml.safe_load(f) or {}
+    names = tree.get("MODELS", tree if isinstance(tree, list) else [])
+    if not isinstance(names, list):
+        raise ValueError(f"{path}: expected a MODELS list")
+    base = main_dir or "."
+    return [os.path.join(base, str(n)) for n in names]
+
+
+def list_model_dirs(parent: str) -> list[str]:
+    """Names of ``parent``'s subdirs that contain GIFs — the reference
+    viewer's ``--list-models`` helper for authoring a models_list.yml."""
+    names = []
+    for name in sorted(os.listdir(parent)):
+        full = os.path.join(parent, name)
+        if os.path.isdir(full) and any(
+            f.endswith(".gif") for f in os.listdir(full)
+        ):
+            names.append(name)
+    return names
+
+
 def run(argv=None) -> int:
     p = argparse.ArgumentParser(
         description="Synchronized HTML GIF comparison viewer."
     )
-    p.add_argument("dirs", nargs="+",
+    p.add_argument("dirs", nargs="*",
                    help="Model sample dirs (models mode) or one parent dir "
                         "of lambda-tagged subdirs (lambda mode).")
     p.add_argument("--mode", choices=("models", "lambda"), default="models")
@@ -199,7 +227,27 @@ def run(argv=None) -> int:
     p.add_argument("--title", default=None)
     p.add_argument("--no-embed", action="store_true",
                    help="Reference cached PNGs instead of base64-embedding.")
+    p.add_argument("--models-file", default=None,
+                   help="YAML with a MODELS list of model dir names "
+                        "(reference config/models_list.yml), displayed "
+                        "in file order.")
+    p.add_argument("--main-models-dir", default=None,
+                   help="Parent dir that --models-file names resolve under.")
+    p.add_argument("--list-models", action="store_true",
+                   help="Print the GIF-bearing subdirs of --main-models-dir "
+                        "(or the one positional dir) and exit.")
     args = p.parse_args(argv)
+    if args.list_models:
+        parent = args.main_models_dir or (args.dirs[0] if args.dirs else ".")
+        for name in list_model_dirs(parent):
+            print(name)
+        return 0
+    if args.models_file:
+        args.dirs = list(args.dirs) + load_models_file(
+            args.models_file, args.main_models_dir
+        )
+    if not args.dirs:
+        p.error("no model dirs given (positional dirs or --models-file)")
     if args.mode == "lambda":
         grid = scan_lambda_dirs(args.dirs[0])
         title = args.title or f"guidance-λ comparison: {args.dirs[0]}"

@@ -124,3 +124,35 @@ def test_html_viewer_lambda_mode(tmp_path):
                      "--output", str(tmp_path / "lam.html")])
     assert rc == 0
     assert os.path.exists(tmp_path / "lam.html")
+
+
+def test_html_viewer_models_file(tmp_path, capsys):
+    """--models-file resolves a MODELS yaml under --main-models-dir in file
+    order (reference gif_comparison_viewer.py:847 workflow), and
+    --list-models prints the GIF-bearing subdirs to copy into it."""
+    import yaml
+
+    _gif_dir(tmp_path / "samples", "DDPM-UNet")
+    _gif_dir(tmp_path / "samples", "FM-UNet")
+    (tmp_path / "samples" / "empty").mkdir()
+
+    rc = viewer_run(["--list-models",
+                     "--main-models-dir", str(tmp_path / "samples")])
+    assert rc == 0
+    assert capsys.readouterr().out.split() == ["DDPM-UNet", "FM-UNet"]
+
+    models_yml = tmp_path / "models_list.yml"
+    models_yml.write_text(yaml.safe_dump({"MODELS": ["FM-UNet", "DDPM-UNet"]}))
+    out = tmp_path / "viewer.html"
+    rc = viewer_run(["--models-file", str(models_yml),
+                     "--main-models-dir", str(tmp_path / "samples"),
+                     "--output", str(out)])
+    assert rc == 0
+    page = open(out).read()
+    # Display order follows the models file, not directory order.
+    assert page.index("FM-UNet") < page.index("DDPM-UNet")
+
+
+def test_html_viewer_requires_dirs():
+    with pytest.raises(SystemExit):
+        viewer_run(["--mode", "models"])

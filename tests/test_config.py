@@ -57,8 +57,16 @@ def test_all_bundled_configs_parse():
         if yml.name.endswith("_datafiles.yml"):
             assert len(cfg.DATA_LIST) > 0
             continue
+        if yml.name == "models_list.yml":  # viewer input, not a dataset cfg
+            assert len(cfg.MODELS) > 0
+            continue
         assert cfg.MACROPROPS.ROWS > 0
-        assert cfg.DATASET.PAST_LEN == 5
+        # ATC_medium ships the reference's 8+8 overlap variant; every other
+        # dataset config uses the canonical 5+3 window.
+        expected_past = 8 if yml.name == "ATC_medium.yml" else 5
+        assert cfg.DATASET.PAST_LEN == expected_past
+        assert (cfg.DATASET.PAST_LEN + cfg.DATASET.FUTURE_LEN
+                <= cfg.DATASET.RAW_SEQ_LEN)
 
 
 def test_gen_configs_is_in_sync(tmp_path, monkeypatch, capsys):

@@ -364,6 +364,46 @@ def main():
     synth["MACROPROPS"].update(OVERLAP=True, WINDOWSIZE=1, MPROPS_COUNT=3)
     write(OUT / "ATC_synthetic.yml", synth)
 
+    # Synthetic datafile list (reference ATC_DSlist_synthetic.yml:1-2 —
+    # plain-filename form; counts computed at load time).
+    write(OUT / "ATC_synthetic_datafiles.yml",
+          {"DATA_LIST": ["synthetic_data.pkl"]})
+
+    # "Medium" ATC variant (reference ATC_medium.yml intent, re-expressed in
+    # the current schema — the reference file itself is a legacy-schema
+    # artifact with flat MODEL/DIFFUSION trees its own current code can't
+    # load).  Captures: BASE_CH 64, 8+8 window with overlap re-striding,
+    # 30/3/3 file split, 300 epochs, DDIM divider 90, sparsity guidance,
+    # 1D-histogram GAMMA 2.0.
+    medium = dataset_cfg("ATC", DATASETS["ATC"])
+    medium["DATASET"].update(
+        PAST_LEN=8, FUTURE_LEN=8, RAW_SEQ_LEN=16,
+        TRAIN_FILE_COUNT=30, VAL_FILE_COUNT=3, TEST_FILE_COUNT=3,
+    )
+    medium["MACROPROPS"].update(OVERLAP=True, WINDOWSIZE=1)
+    med_unet = medium["MODEL"]["DDPM"]["UNET"]
+    med_unet.update(BASE_CH=64)
+    med_unet["TRAIN"]["EPOCHS"] = 300
+    medium["MODEL"]["DDPM"].update(DDIM_DIVIDER=90, GUIDANCE="Sparsity")
+    medium["METRICS"]["MOTION_FEATURE"]["GAMMA"] = 2.0
+    write(OUT / "ATC_medium.yml", medium)
+
+    # Example models list for the HTML comparison viewer
+    # (reference config/models_list.yml:1-10 role; order = display order).
+    write(OUT / "models_list.yml", {
+        "MODELS": [
+            "DDPM-UNet_mE000_sDDIMdiv2_gSparsity",
+            "DDPM-UNet_mE000_sDDIMdiv10_gSparsity",
+            "DDPM-UNet_mE000_sDDPM_gNone",
+            "DDPM-UNet_mE000_sDDPM_gSparsity",
+        ],
+    })
+
+    # W&B-shaped sweep config (reference config/sweep_config.yaml role),
+    # generated from the same search space `crowdmod sweep` uses.
+    from crowdmod_tpu.cli.sweep import wandb_sweep_configuration
+    write(OUT / "sweep_config.yaml", wandb_sweep_configuration("DDPM-UNet"))
+
 
 if __name__ == "__main__":
     main()
