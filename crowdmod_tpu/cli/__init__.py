@@ -7,8 +7,10 @@ the ``crowdmod`` console script:
   * ``generate_samples``  — sample a trained model + render plots/GIFs
   * ``generate_metrics``  — repeated-past metric suite → CSV/manifest/boxplots
   * ``sweep``             — random-search hyperparameter sweeps
+  * ``distill``           — progressive distillation to a few-step sampler
   * ``serve``             — HTTP inference server (batching, health, metrics)
   * ``import-checkpoint`` — migrate a reference torch checkpoint
+  * ``export``            — serialize a sampler as a StableHLO artifact
   * ``doctor``            — deployment environment self-check
 """
 
@@ -60,8 +62,10 @@ def main(argv: list[str] | None = None) -> int:
         "generate-samples": "crowdmod_tpu.cli.generate_samples",
         "generate-metrics": "crowdmod_tpu.cli.generate_metrics",
         "sweep": "crowdmod_tpu.cli.sweep",
+        "distill": "crowdmod_tpu.cli.distill",
         "serve": "crowdmod_tpu.cli.serve",
         "import-checkpoint": "crowdmod_tpu.cli.import_checkpoint",
+        "export": "crowdmod_tpu.export_artifact",
         "compare": "crowdmod_tpu.viz.compare_models",
         "view": "crowdmod_tpu.viz.html_viewer",
         "params": "crowdmod_tpu.utils.model_info",

@@ -92,7 +92,9 @@ def check_configs(results):
     bad = []
     n = 0
     for yml in sorted((repo / "configs").rglob("*.yml")):
-        if yml.name.endswith("_datafiles.yml"):
+        # Companion files, not dataset configs: datafile lists and the HTML
+        # viewer's models list.
+        if yml.name.endswith("_datafiles.yml") or yml.name == "models_list.yml":
             continue
         n += 1
         # One unparseable config must report FAIL, not crash the doctor

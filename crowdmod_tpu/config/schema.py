@@ -104,7 +104,9 @@ class DiTSchema:
 class DDPMSchema:
     TIMESTEPS: int = req(positive=True)
     SCALE: float = opt(1.0, positive=True)
-    SAMPLER: str = opt("DDPM", choices=("DDPM", "DDIM", "DPM-Solver"))
+    SAMPLER: str = opt(
+        "DDPM", choices=("DDPM", "DDIM", "DPM-Solver", "Distilled")
+    )
     GUIDANCE: str = opt(
         "None", choices=("None", "Sparsity", "mass_preservation")
     )

@@ -613,6 +613,23 @@ class Trainer:
                     self._denoise_fn(params), self.sched, past, key, shape,
                     steps=node.get("DPM_STEPS", 20), history=history,
                 )
+            if node.SAMPLER == "Distilled":
+                # Few-step sampler for progressively-distilled students
+                # (train/distiller.py).  Deterministic by construction;
+                # guidance would push x off the trajectory the student was
+                # trained to jump along, so it is rejected rather than
+                # silently ignored.
+                if node.GUIDANCE not in ("None", None):
+                    raise ValueError(
+                        "the Distilled sampler is guidance-free; trained "
+                        f"trajectories ignore GUIDANCE={node.GUIDANCE!r}"
+                    )
+                from crowdmod_tpu.models.diffusion import distilled_sample
+
+                return distilled_sample(
+                    self._denoise_fn(params), self.sched, past, key, shape,
+                    node.get("DISTILL_STEPS", 8), history=history,
+                )
             if node.SAMPLER != "DDPM":
                 raise ValueError(f"unknown DDPM sampler {node.SAMPLER!r}")
             return ddpm_sample(

@@ -1,0 +1,135 @@
+"""Serialized sampler artifacts (export_artifact.py): roundtrip fidelity,
+sidecar metadata, and the CLI surface (beyond-reference deployment
+capability)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crowdmod_tpu.config import load_config
+from crowdmod_tpu.export_artifact import (
+    export_sampler,
+    load_sampler,
+    sampler_fn,
+)
+from crowdmod_tpu.train.trainer import Trainer
+
+H, W, P, F, C = 8, 12, 5, 3, 3
+
+
+@pytest.fixture(scope="module")
+def tiny_trainer():
+    cfg = load_config("ATC.yml").updated({
+        "MACROPROPS": {"ROWS": H, "COLS": W},
+        "DATASET": {"BATCH_SIZE": 4},
+        "MODEL": {"DDPM": {
+            "TIMESTEPS": 10, "SCALE": 0.5, "SAMPLER": "DDIM",
+            "DDIM_DIVIDER": 2,
+            "UNET": {"BASE_CH": 8, "BASE_CH_MULT": [1, 2],
+                     "APPLY_ATTENTION": [False, False],
+                     "DROPOUT_RATE": 0.0},
+        }},
+    })
+    trainer = Trainer(cfg, "DDPM-UNet", seed=0)
+    trainer.setup()
+    return trainer
+
+
+def test_export_roundtrip_matches_direct_sampler(tiny_trainer, tmp_path):
+    path = str(tmp_path / "sampler.stablehlo")
+    meta = export_sampler(tiny_trainer, path, batch_size=4)
+    assert os.path.exists(path) and os.path.exists(path + ".json")
+    assert meta["past_shape"] == [4, P, H, W, C]
+    assert meta["future_shape"] == [4, F, H, W, C]
+    assert meta["bytes"] > 0
+
+    restored, meta2 = load_sampler(path)
+    assert meta2["arch"] == "DDPM-UNet"
+
+    past = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, P, H, W, C)), jnp.float32
+    )
+    seed = jnp.uint32(7)
+    direct = sampler_fn(tiny_trainer)(past, seed)
+    via_artifact = restored(past, seed)
+    assert via_artifact.shape == (4, F, H, W, C)
+    np.testing.assert_allclose(
+        np.asarray(via_artifact), np.asarray(direct), atol=1e-5
+    )
+    # Different seed ⇒ different sample (the seed is live, not baked).
+    other = restored(past, jnp.uint32(8))
+    assert float(jnp.abs(other - via_artifact).max()) > 1e-4
+
+
+def test_artifact_runs_without_model_code(tiny_trainer, tmp_path):
+    """The deserialized program must run in a fresh process that imports
+    ONLY the loader — no model classes, no config, no checkpoint."""
+    path = str(tmp_path / "sampler.stablehlo")
+    export_sampler(tiny_trainer, path, batch_size=2)
+
+    past = np.zeros((2, P, H, W, C), np.float32)
+    np.save(tmp_path / "past.npy", past)
+    expect = np.asarray(sampler_fn(tiny_trainer)(jnp.asarray(past),
+                                                 jnp.uint32(3)))
+    np.save(tmp_path / "expect.npy", expect)
+
+    script = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import sys
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from crowdmod_tpu.export_artifact import load_sampler
+fn, meta = load_sampler({path!r})
+past = np.load({str(tmp_path / "past.npy")!r})
+out = np.asarray(fn(past, np.uint32(3)))
+np.testing.assert_allclose(out, np.load({str(tmp_path / "expect.npy")!r}),
+                           atol=1e-5)
+print("SUBPROCESS_OK", meta["batch_size"])
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "SUBPROCESS_OK 2" in out.stdout
+
+
+def test_export_cli(tiny_trainer, tmp_path):
+    from crowdmod_tpu.export_artifact import run
+    from crowdmod_tpu.train import checkpoint as ckpt
+
+    cfg = tiny_trainer.cfg.updated({
+        "DATA_FS": {"SAVE_DIR": str(tmp_path / "ckpts"),
+                    "OUTPUT_DIR": str(tmp_path / "out")},
+    })
+    cfg_path = tmp_path / "cfg.yml"
+    import yaml
+
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg.to_dict(), f)
+
+    # Save a checkpoint under the expected name, then export through the CLI.
+    saver = Trainer(cfg, "DDPM-UNet", seed=0)
+    saver.setup()
+    saver.save(str(tmp_path / "ckpts"), "000")
+    ckpt.wait_for_saves()
+
+    artifact = str(tmp_path / "exported.stablehlo")
+    rc = run([
+        "--config-yml-file", str(cfg_path), "--arch", "DDPM-UNet",
+        "--batch", "2", "--output", artifact,
+    ])
+    assert rc == 0
+    meta = json.load(open(artifact + ".json"))
+    assert meta["batch_size"] == 2
+    fn, _ = load_sampler(artifact)
+    out = fn(np.zeros((2, P, H, W, C), np.float32), 0)
+    assert out.shape == (2, F, H, W, C)
+    assert bool(jnp.isfinite(out).all())

@@ -16,6 +16,13 @@ def test_all_shipped_configs_valid():
     ymls = sorted((repo / "configs").rglob("*.yml"))
     assert ymls
     for yml in ymls:
+        if yml.name == "models_list.yml":
+            # HTML-viewer models list (reference config/models_list.yml),
+            # not a dataset config.
+            with open(yml) as f:
+                data = yaml.safe_load(f)
+            assert set(data) == {"MODELS"}, yml.name
+            continue
         if yml.name.endswith("_datafiles.yml"):
             # Companion datafile lists (reference config/ATC_datafiles.yml
             # shape), not full configs: a DATA_LIST of (filename, count).

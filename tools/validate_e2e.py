@@ -40,6 +40,13 @@ def main(argv=None) -> int:
                    help="FM interpolant override (MODEL.FM.W_TYPE)")
     p.add_argument("--ema", type=float, default=0.0,
                    help="TRAIN.EMA_DECAY (0 disables; e.g. 0.995)")
+    p.add_argument("--distill", type=int, default=0,
+                   help="After training, progressively distill the sampler "
+                        "to this many steps (DDPM archs only; 0 = off).")
+    p.add_argument("--distill-start", type=int, default=64)
+    p.add_argument("--distill-epochs", type=int, default=6,
+                   help="Epochs per halving phase.")
+    p.add_argument("--distill-lr", type=float, default=1e-4)
     args = p.parse_args(argv)
 
     import jax
@@ -118,6 +125,46 @@ def main(argv=None) -> int:
         "improvement_db": round(trained - untrained, 3),
         "backend": jax.default_backend(),
     }
+
+    if args.distill:
+        from crowdmod_tpu.models.diffusion import distilled_sample
+        from crowdmod_tpu.train.distiller import progressive_distill
+
+        def density_psnr_nstep(params, n_steps, n=64, seed=0):
+            past, future = ds.gather(np.arange(min(n, len(ds))))
+            pred = distilled_sample(
+                lambda x, t, c: trainer.model.apply(params, x, t, c),
+                trainer.sched, past, jax.random.PRNGKey(seed),
+                future.shape, n_steps,
+            )
+            ranges = F.channel_ranges(future[..., :3])
+            psnr = F.psnr_over_time(pred[..., :3], future[..., :3], ranges)
+            return float(jnp.mean(psnr[..., 0]))
+
+        teacher_params = trainer._sample_params()
+        raw_fewstep = density_psnr_nstep(teacher_params, args.distill)
+        print(f"teacher forced to {args.distill} det. steps: "
+              f"{raw_fewstep:.3f} dB")
+
+        t1 = time.time()
+        progressive_distill(
+            trainer, ds, target_steps=args.distill,
+            start_steps=args.distill_start,
+            epochs_per_phase=args.distill_epochs, lr=args.distill_lr,
+            seed=args.seed,
+        )
+        distill_wall = time.time() - t1
+        student = density_psnr_nstep(trainer.state.params, args.distill)
+        print(f"distilled {args.distill}-step student:      "
+              f"{student:.3f} dB (distilled in {distill_wall:.1f}s)")
+        report.update({
+            "distill_steps": args.distill,
+            "distill_start_steps": args.distill_start,
+            "distill_wall_s": round(distill_wall, 1),
+            "teacher_fewstep_psnr_db": round(raw_fewstep, 3),
+            "distilled_psnr_db": round(student, 3),
+            "distill_gain_db": round(student - raw_fewstep, 3),
+        })
     print(json.dumps(report))
     if args.out:
         with open(args.out, "w") as f:
