@@ -297,6 +297,13 @@ def run(argv=None) -> int:
                    help="persist compiled buckets to DIR (default "
                         "~/.cache/crowdmod_tpu/xla) so restarts warm up "
                         "in seconds instead of recompiling")
+    p.add_argument(
+        "--artifact", type=str, nargs="+", default=None, metavar="PATH",
+        help="serve exported StableHLO sampler artifact(s) (crowdmod "
+             "export; one per batch bucket) instead of a checkpoint — no "
+             "model/config code is loaded; --arch only names the model "
+             "and checkpoint flags are ignored",
+    )
     args = p.parse_args(argv)
     setup_logging("logs/serve.log")
 
@@ -320,9 +327,19 @@ def run(argv=None) -> int:
             seed=args.seed,
         )
 
-    predictors = {args.arch.lower(): load(args.arch)}
-    for arch in args.extra_arch:
-        predictors[arch.lower()] = load(arch)
+    if args.artifact:
+        from crowdmod_tpu.export_artifact import ArtifactPredictor
+
+        if args.extra_arch:
+            p.error("--artifact serves a single exported model; "
+                    "--extra-arch needs the checkpoint path")
+        predictors = {args.arch.lower(): ArtifactPredictor(args.artifact)}
+        logging.info("serving %d artifact bucket(s): %s",
+                     len(args.artifact), args.artifact)
+    else:
+        predictors = {args.arch.lower(): load(args.arch)}
+        for arch in args.extra_arch:
+            predictors[arch.lower()] = load(arch)
     app = ServingApp(predictors, max_delay_ms=args.max_delay_ms,
                      max_queue=args.max_queue,
                      request_timeout_s=args.request_timeout_s)

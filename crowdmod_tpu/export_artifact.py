@@ -115,6 +115,96 @@ def load_sampler(path: str | os.PathLike) -> tuple[Callable, dict]:
     return sample, meta
 
 
+class ArtifactPredictor:
+    """Drop-in serving predictor backed by exported artifacts — one per
+    batch bucket — so a serving host needs NO model classes, config, or
+    checkpoint (mirrors :class:`crowdmod_tpu.serving.Predictor`'s surface:
+    ``warmup``/``predict``/``batch_buckets``/``stats``; works behind
+    ``ServingApp`` and the micro-batching queue unchanged)."""
+
+    def __init__(self, paths: Sequence[str | os.PathLike]):
+        import threading
+
+        from crowdmod_tpu.serving import PredictorStats
+
+        if not paths:
+            raise ValueError("ArtifactPredictor needs at least one artifact")
+        self._fns: dict[int, Callable] = {}
+        meta = None
+        for p in paths:
+            fn, m = load_sampler(p)
+            if not m:
+                raise ValueError(f"{p}: missing .json metadata sidecar")
+            b = int(m["batch_size"])
+            self._fns[b] = fn
+            if meta is None:
+                meta = m
+            elif m["past_shape"][1:] != meta["past_shape"][1:]:
+                raise ValueError(
+                    f"{p}: geometry {m['past_shape'][1:]} differs from "
+                    f"{meta['past_shape'][1:]}"
+                )
+        self.batch_buckets = tuple(sorted(self._fns))
+        _, p_len, h, w, c = meta["past_shape"]
+        f_len = meta["future_shape"][1]
+        self._shape = (p_len, f_len, h, w, c)
+        self.arch = meta.get("arch", "?")
+        self.meta = meta
+        self.stats = PredictorStats()
+        self._lock = threading.Lock()
+        self._counter = 0
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        raise ValueError(
+            f"request batch {n} exceeds largest bucket "
+            f"{self.batch_buckets[-1]}"
+        )
+
+    def warmup(self):
+        p, f, h, w, c = self._shape
+        for b, fn in sorted(self._fns.items()):
+            jax.block_until_ready(
+                fn(np.zeros((b, p, h, w, c), np.float32), np.uint32(0))
+            )
+        return self
+
+    @staticmethod
+    def _seed_from_key(key) -> np.uint32:
+        # Artifacts take a plain uint32 seed; derive one deterministically
+        # from a jax PRNG key when the caller supplies one.
+        data = np.asarray(jax.random.key_data(key)).ravel()
+        return np.uint32(data[-1])
+
+    def predict(self, past, key=None):
+        import time
+
+        past = np.asarray(past, np.float32)
+        n = past.shape[0]
+        bucket = self._bucket(n)
+        if bucket != n:
+            pad = np.zeros((bucket - n,) + past.shape[1:], np.float32)
+            past = np.concatenate([past, pad])
+        with self._lock:
+            if key is None:
+                self._counter += 1
+                seed = np.uint32(self._counter)
+            else:
+                seed = self._seed_from_key(key)
+            t0 = time.perf_counter()
+            out = self._fns[bucket](past, seed)
+            out = np.asarray(jax.block_until_ready(out))[:n]
+            self.stats.record(n, time.perf_counter() - t0)
+        return out
+
+    @property
+    def mean_latency_ms(self) -> float:
+        s = self.stats
+        return 1e3 * s.total_latency_s / s.requests if s.requests else 0.0
+
+
 def run(argv=None) -> int:
     """CLI: ``crowdmod export`` — checkpoint → serialized sampler artifact."""
     import argparse
@@ -129,9 +219,10 @@ def run(argv=None) -> int:
     p = common_parser("Export a trained sampler as a StableHLO artifact.")
     p.add_argument("--model-to-load", type=str, default="000",
                    help="Checkpoint epoch tag; 000 = best-loss model.")
-    p.add_argument("--batch", type=int, default=None,
-                   help="Batch size to specialize to "
-                        "(default DATASET.BATCH_SIZE).")
+    p.add_argument("--batch", type=int, action="append", default=None,
+                   help="Batch size to specialize to; repeat for one "
+                        "artifact per serving bucket (default "
+                        "DATASET.BATCH_SIZE).")
     p.add_argument("--platform", action="append", default=None,
                    help="Target platform(s), e.g. --platform tpu "
                         "(repeatable; default: current backend).")
@@ -152,11 +243,16 @@ def run(argv=None) -> int:
     trainer.load(path)
     logging.info("checkpoint restored from %s", path)
 
-    meta = export_sampler(
-        trainer, args.output,
-        batch_size=args.batch or cfg.DATASET.BATCH_SIZE,
-        platforms=args.platform,
-    )
-    logging.info("exported %s: %s", args.output, json.dumps(meta))
-    print(args.output)
+    batches = args.batch or [cfg.DATASET.BATCH_SIZE]
+    for b in batches:
+        if len(batches) == 1:
+            out = args.output
+        else:
+            root, ext = os.path.splitext(args.output)
+            out = f"{root}.b{b}{ext}"
+        meta = export_sampler(
+            trainer, out, batch_size=b, platforms=args.platform,
+        )
+        logging.info("exported %s: %s", out, json.dumps(meta))
+        print(out)
     return 0

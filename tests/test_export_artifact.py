@@ -133,3 +133,98 @@ def test_export_cli(tiny_trainer, tmp_path):
     out = fn(np.zeros((2, P, H, W, C), np.float32), 0)
     assert out.shape == (2, F, H, W, C)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_artifact_predictor_buckets_and_serving_app(tiny_trainer, tmp_path):
+    """ArtifactPredictor: bucket padding, stats, key determinism, and the
+    full ServingApp/handle_predict path — all without touching the trainer
+    after export."""
+    from crowdmod_tpu.export_artifact import ArtifactPredictor
+
+    p2 = str(tmp_path / "s.b2.stablehlo")
+    p4 = str(tmp_path / "s.b4.stablehlo")
+    export_sampler(tiny_trainer, p2, batch_size=2)
+    export_sampler(tiny_trainer, p4, batch_size=4)
+
+    pred = ArtifactPredictor([p4, p2]).warmup()
+    assert pred.batch_buckets == (2, 4)
+    assert pred._shape == (P, F, H, W, C)
+
+    past3 = np.random.default_rng(1).normal(size=(3, P, H, W, C)).astype(
+        np.float32
+    )
+    out = pred.predict(past3)  # pads 3 -> bucket 4, strips back to 3
+    assert out.shape == (3, F, H, W, C)
+    assert pred.stats.requests == 1 and pred.stats.samples == 3
+
+    # Same jax key -> same sample; different key -> different sample.
+    k = jax.random.PRNGKey(5)
+    a = pred.predict(past3[:2], key=k)
+    b = pred.predict(past3[:2], key=k)
+    c = pred.predict(past3[:2], key=jax.random.PRNGKey(6))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    assert np.abs(a - c).max() > 1e-4
+
+    with pytest.raises(ValueError, match="exceeds largest bucket"):
+        pred.predict(np.zeros((5, P, H, W, C), np.float32))
+
+    # Behind the real serving app + micro-batching queue.
+    from crowdmod_tpu.cli.serve import ServingApp
+
+    app = ServingApp(pred).warmup()
+    try:
+        resp = app.handle_predict({"past": past3.tolist(), "seed": 3})
+        got = np.asarray(resp["future"], np.float32)
+        assert got.shape == (3, F, H, W, C)
+        assert np.isfinite(got).all()
+    finally:
+        app.close()
+
+
+def test_artifact_predictor_rejects_mixed_geometry(tiny_trainer, tmp_path):
+    from crowdmod_tpu.export_artifact import ArtifactPredictor
+
+    p_ok = str(tmp_path / "a.stablehlo")
+    export_sampler(tiny_trainer, p_ok, batch_size=2)
+
+    other = Trainer(
+        tiny_trainer.cfg.updated({"MACROPROPS": {"ROWS": H, "COLS": 2 * W}}),
+        "DDPM-UNet", seed=0,
+    )
+    other.setup()
+    p_bad = str(tmp_path / "b.stablehlo")
+    export_sampler(other, p_bad, batch_size=4)
+    with pytest.raises(ValueError, match="differs"):
+        ArtifactPredictor([p_ok, p_bad])
+
+
+def test_export_cli_multiple_buckets(tiny_trainer, tmp_path):
+    import yaml
+
+    from crowdmod_tpu.export_artifact import run
+    from crowdmod_tpu.train import checkpoint as ckpt
+
+    cfg = tiny_trainer.cfg.updated({
+        "DATA_FS": {"SAVE_DIR": str(tmp_path / "ckpts"),
+                    "OUTPUT_DIR": str(tmp_path / "out")},
+    })
+    cfg_path = tmp_path / "cfg.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg.to_dict(), f)
+    saver = Trainer(cfg, "DDPM-UNet", seed=0)
+    saver.setup()
+    saver.save(str(tmp_path / "ckpts"), "000")
+    ckpt.wait_for_saves()
+
+    rc = run([
+        "--config-yml-file", str(cfg_path), "--arch", "DDPM-UNet",
+        "--batch", "1", "--batch", "2",
+        "--output", str(tmp_path / "m.stablehlo"),
+    ])
+    assert rc == 0
+    from crowdmod_tpu.export_artifact import ArtifactPredictor
+
+    pred = ArtifactPredictor([
+        str(tmp_path / "m.b1.stablehlo"), str(tmp_path / "m.b2.stablehlo"),
+    ])
+    assert pred.batch_buckets == (1, 2)
