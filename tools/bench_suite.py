@@ -105,7 +105,9 @@ def report(metric, value, unit):
     print(json.dumps({"metric": metric, "value": round(value, 1), "unit": unit}))
 
 
-SECTIONS = ("ddpm", "dit", "ddim", "train", "fm", "convrnn", "metrics")
+SECTIONS = (
+    "ddpm", "dit", "ddim", "distilled", "train", "fm", "convrnn", "metrics"
+)
 
 
 def main(argv=None) -> int:
@@ -178,6 +180,30 @@ def main(argv=None) -> int:
             denoise, sched, p_, k, (B, F, H, W, C), taus))
         dt = timeit(f, past, jax.random.PRNGKey(1), reps=3)
         report("ddim10_samples_per_sec", B / dt, "full samples/s (batch 64)")
+
+    # 2b. Distilled few-step sampler (DiT flagship geometry; the chain is
+    # milliseconds, so the scan harness is mandatory).
+    if run("distilled"):
+        from crowdmod_tpu.models.diffusion import distilled_sample
+
+        d_model = DiT4DFactorized(
+            out_channels=C, grid_rows=H, grid_cols=W,
+            patch_size=4, hidden_size=256, depth=6, num_heads=4,
+            mlp_ratio=4.0, dropout_rate=0.1, time_multiple=4,
+            past_len=P, future_len=F, t_patch_size=4, dtype=dtype,
+        )
+        d_params = d_model.init(
+            jax.random.PRNGKey(0), future, jnp.zeros((B,)), past
+        )
+        d_fn = lambda x, t, c_: d_model.apply(d_params, x, t, c_)
+        dt = timeit_scan(
+            lambda p_, k: distilled_sample(
+                d_fn, sched, p_, k, (B, F, H, W, C), 8
+            ),
+            past, jax.random.PRNGKey(1), iters=50, reps=3,
+        )
+        report("distilled8_samples_per_sec", B / dt,
+               "full samples/s (batch 64, 8-step DiT student)")
 
     # 3. Training step throughput.
     if run("train"):
