@@ -8,6 +8,7 @@ the ``crowdmod`` console script:
   * ``generate_metrics``  — repeated-past metric suite → CSV/manifest/boxplots
   * ``sweep``             — random-search hyperparameter sweeps
   * ``distill``           — progressive distillation to a few-step sampler
+  * ``reflow``            — rectify an FM model for few-step Euler sampling
   * ``serve``             — HTTP inference server (batching, health, metrics)
   * ``import-checkpoint`` — migrate a reference torch checkpoint
   * ``export``            — serialize a sampler as a StableHLO artifact
@@ -63,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
         "generate-metrics": "crowdmod_tpu.cli.generate_metrics",
         "sweep": "crowdmod_tpu.cli.sweep",
         "distill": "crowdmod_tpu.cli.distill",
+        "reflow": "crowdmod_tpu.cli.reflow",
         "serve": "crowdmod_tpu.cli.serve",
         "import-checkpoint": "crowdmod_tpu.cli.import_checkpoint",
         "export": "crowdmod_tpu.export_artifact",

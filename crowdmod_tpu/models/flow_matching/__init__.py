@@ -7,6 +7,10 @@ from crowdmod_tpu.models.flow_matching.fm import (
     INTERPOLANTS,
     INTEGRATORS,
 )
+from crowdmod_tpu.models.flow_matching.reflow import (
+    generate_coupling,
+    reflow_loss,
+)
 
 __all__ = [
     "fm_loss",
@@ -14,6 +18,8 @@ __all__ = [
     "heun_sample",
     "linear_interpolant",
     "conic_interpolant",
+    "generate_coupling",
+    "reflow_loss",
     "INTERPOLANTS",
     "INTEGRATORS",
 ]

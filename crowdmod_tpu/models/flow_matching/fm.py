@@ -81,9 +81,17 @@ def euler_sample(
     *,
     steps: int = 1000,
     time_max_pos: int = 1000,
+    x_init: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Euler integration of dx/dt = u from x(0) ~ N(0, I); one scan."""
-    x0 = jax.random.normal(key, sample_shape, dtype=jnp.float32)
+    """Euler integration of dx/dt = u from x(0) ~ N(0, I); one scan.
+
+    ``x_init`` overrides the noise draw — used by ReFlow coupling
+    generation, which must keep the (x0, x1) endpoints paired.
+    """
+    x0 = (
+        jax.random.normal(key, sample_shape, dtype=jnp.float32)
+        if x_init is None else x_init
+    )
     delta = 1.0 / steps
     b = sample_shape[0]
     _, idx = _time_grid(steps, time_max_pos)

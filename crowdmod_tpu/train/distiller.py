@@ -157,16 +157,156 @@ def progressive_distill(
 
 
 def _save_student(trainer, params, save_dir, n_steps, final_loss):
-    from crowdmod_tpu.train import checkpoint as ckpt
+    _save_tagged(trainer, params, save_dir, distilled_tag(n_steps),
+                 {"distilled_steps": n_steps, "distill_loss": final_loss})
 
+
+def _save_tagged(trainer, params, save_dir, tag, extra):
     import os
 
-    name = ckpt.checkpoint_name(trainer.cfg, trainer.arch,
-                                distilled_tag(n_steps))
+    from crowdmod_tpu.train import checkpoint as ckpt
+
+    name = ckpt.checkpoint_name(trainer.cfg, trainer.arch, tag)
     path = os.path.join(save_dir, name)
-    meta = ckpt.build_metadata(
-        trainer.cfg, trainer.arch, distilled_tag(n_steps),
-        {"distilled_steps": n_steps, "distill_loss": final_loss},
-    )
+    meta = ckpt.build_metadata(trainer.cfg, trainer.arch, tag, extra)
     ckpt.save_checkpoint(path, {"params": params}, meta)
-    logging.info("distilled %d-step checkpoint saved: %s", n_steps, path)
+    logging.info("%s checkpoint saved: %s", tag, path)
+
+
+# ---------------------------------------------------------------------------
+# ReFlow — the FM-family twin (models/flow_matching/reflow.py)
+# ---------------------------------------------------------------------------
+
+
+def reflow_tag(round_idx: int) -> str:
+    """Checkpoint tag for the ``round_idx``-th rectified flow."""
+    return f"RF{round_idx}"
+
+
+def reflow(
+    trainer: "Trainer",
+    train_ds: "WindowDataset",
+    *,
+    rounds: int = 1,
+    coupling_steps: int = 100,
+    epochs_per_round: int = 8,
+    lr: float = 1e-4,
+    save_dir: str | None = None,
+    save_intermediate: bool = False,
+    tracker=None,
+    seed: int = 0,
+) -> dict:
+    """Rectify a trained FM velocity field: per round, integrate the
+    teacher's ODE over the training pasts to build coupled (x0, x1) pairs,
+    then retrain on the straight paths between them.  The result samples
+    accurately with a small Euler ``INTEGRATOR_STEPS`` — no new sampler.
+
+    Leaves the rectified field in ``trainer.state.params``; returns a
+    history dict of per-round loss curves.
+    """
+    if trainer.family != "FM":
+        raise ValueError(
+            f"reflow targets the FM family, got {trainer.arch!r}"
+        )
+    if trainer.state is None:
+        raise ValueError("trainer has no restored state; load a checkpoint "
+                         "before reflowing")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    batch_size = trainer.cfg.DATASET.BATCH_SIZE
+    if len(train_ds) < batch_size:
+        raise ValueError(
+            f"reflow dataset yields no full batches: {len(train_ds)} "
+            f"windows < DATASET.BATCH_SIZE={batch_size}"
+        )
+
+    from crowdmod_tpu.models.flow_matching.reflow import (
+        generate_coupling,
+        reflow_loss,
+    )
+
+    model = trainer.model
+    tmp = trainer.cfg.MODEL.FM.TIME_MAX_POS
+    teacher_params = jax.tree.map(jnp.copy, trainer._sample_params())
+    key = jax.random.PRNGKey(seed)
+    history: dict = {"rounds": [], "loss": {}}
+
+    gen = jax.jit(
+        lambda params, past_b, k, shape: generate_coupling(
+            lambda x, t, c: model.apply(params, x, t, c),
+            past_b, k, shape, steps=coupling_steps, time_max_pos=tmp,
+        ),
+        static_argnums=(3,),
+    )
+
+    for r in range(1, rounds + 1):
+        # --- build the coupling set from the teacher --------------------
+        pasts, x0s, x1s = [], [], []
+        for past_b, future_b in train_ds.batches(
+            batch_size, shuffle=False, seed=seed
+        ):
+            key, sub = jax.random.split(key)
+            x0, x1 = gen(teacher_params, past_b, sub, future_b.shape)
+            pasts.append(past_b)
+            x0s.append(x0)
+            x1s.append(x1)
+        past_all = jnp.concatenate(pasts)
+        x0_all = jnp.concatenate(x0s)
+        x1_all = jnp.concatenate(x1s)
+        n = past_all.shape[0]
+        logging.info("reflow round %d: %d coupled pairs "
+                     "(teacher %d-step Euler)", r, n, coupling_steps)
+
+        # --- retrain on the straight paths ------------------------------
+        def loss_fn(params, batch, k):
+            past_b, x0_b, x1_b = batch
+            return reflow_loss(
+                lambda x, t, c: model.apply(params, x, t, c),
+                x0_b, x1_b, past_b, k, time_max_pos=tmp,
+            )
+
+        state = TrainState.create(
+            jax.tree.map(jnp.copy, teacher_params),
+            optax.adam(lr, b1=0.9, b2=0.999),
+        )
+        step = make_train_step(loss_fn, donate=True)
+
+        round_losses = []
+        rng = np.random.default_rng(seed + r)
+        for epoch in range(1, epochs_per_round + 1):
+            order = rng.permutation(n)
+            losses = []
+            for i in range(0, n - batch_size + 1, batch_size):
+                sel = order[i:i + batch_size]
+                batch = (past_all[sel], x0_all[sel], x1_all[sel])
+                key, sub = jax.random.split(key)
+                state, loss = step(state, batch, sub)
+                losses.append(loss)
+            epoch_loss = float(jnp.mean(jnp.stack(losses)))
+            round_losses.append(epoch_loss)
+            if tracker is not None:
+                tracker.log({f"reflow_loss_r{r}": epoch_loss}, step=epoch)
+            logging.info("reflow round %d, epoch %d/%d: loss %.5f",
+                         r, epoch, epochs_per_round, epoch_loss)
+            if not np.isfinite(epoch_loss):
+                raise FloatingPointError(
+                    f"reflow diverged at round {r} epoch {epoch}"
+                )
+
+        teacher_params = state.params
+        history["rounds"].append(r)
+        history["loss"][r] = round_losses
+        if save_dir and (save_intermediate or r == rounds):
+            _save_tagged(trainer, teacher_params, save_dir, reflow_tag(r),
+                         {"reflow_round": r,
+                          "coupling_steps": coupling_steps,
+                          "reflow_loss": round_losses[-1]})
+
+    trainer.state = trainer.state.replace(
+        params=teacher_params,
+        ema_params=(
+            jax.tree.map(jnp.copy, teacher_params)
+            if trainer.state.ema_params is not None else None
+        ),
+    )
+    return history

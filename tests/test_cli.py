@@ -259,3 +259,73 @@ def test_mesh_from_config(smoke_cfg):
         smoke_cfg.updated({"TPU": {"MESH": {"MODEL": 2}}}), model_override=4
     )
     assert m4.shape == {"data": 2, "model": 4}
+
+
+def test_cli_distill_then_sample(workspace, tmp_path):
+    """crowdmod distill end-to-end: train a teacher, distill 4 -> 2 steps,
+    then generate-samples from the D-tag checkpoint with the Distilled
+    sampler."""
+    import yaml
+
+    from crowdmod_tpu.cli import distill
+
+    ws = workspace
+    cfg_d = yaml.safe_load(open(ws["cfg"]))
+    node = cfg_d["MODEL"]["DDPM"]
+    node["TIMESTEPS"] = 16  # teacher grid 2*4=8 must fit the schedule
+    node["SAMPLER"] = "Distilled"
+    node["DISTILL_STEPS"] = 2
+    cfg_path = tmp_path / "cfg_distill.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_d, f)
+    common = ["--config-yml-file", str(cfg_path),
+              "--configList-yml-file", ws["list"]]
+
+    rc = train.run(common + ["--arch", "DDPM-UNet",
+                             "--run-dir", str(tmp_path / "run")])
+    assert rc == 0
+    rc = distill.run(common + ["--arch", "DDPM-UNet", "--steps", "2",
+                               "--start-steps", "4",
+                               "--epochs-per-phase", "1"])
+    assert rc == 0
+    ckpts = os.listdir(ws["tmp"] / "ckpts")
+    assert any("D002" in c for c in ckpts), ckpts
+
+    rc = generate_samples.run(
+        common + ["--arch", "DDPM-UNet", "--plot-type", "Static",
+                  "--model-sample-to-load", "D002",
+                  "--output-dir", str(tmp_path / "samples")]
+    )
+    assert rc == 0
+    assert any(p.endswith(".svg") for p in os.listdir(tmp_path / "samples"))
+
+
+def test_cli_reflow(workspace, tmp_path):
+    """crowdmod reflow end-to-end: train an FM teacher (1 epoch), rectify
+    one round, and check the RF1 checkpoint lands."""
+    import yaml
+
+    from crowdmod_tpu.cli import reflow as reflow_cli
+
+    ws = workspace
+    cfg_d = yaml.safe_load(open(ws["cfg"]))
+    cfg_d["MODEL"]["FM"]["UNET"].update(
+        BASE_CH=8, BASE_CH_MULT=[1, 2], APPLY_ATTENTION=[False, False],
+        DROPOUT_RATE=0.0,
+    )
+    cfg_d["MODEL"]["FM"]["UNET"]["TRAIN"]["EPOCHS"] = 1
+    cfg_path = tmp_path / "cfg_reflow.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_d, f)
+    common = ["--config-yml-file", str(cfg_path),
+              "--configList-yml-file", ws["list"]]
+
+    rc = train.run(common + ["--arch", "FM-UNet",
+                             "--run-dir", str(tmp_path / "run_fm")])
+    assert rc == 0
+    rc = reflow_cli.run(common + ["--arch", "FM-UNet", "--rounds", "1",
+                                  "--coupling-steps", "5",
+                                  "--epochs-per-round", "1"])
+    assert rc == 0
+    ckpts = os.listdir(ws["tmp"] / "ckpts")
+    assert any("RF1" in c for c in ckpts), ckpts

@@ -47,6 +47,10 @@ def main(argv=None) -> int:
     p.add_argument("--distill-epochs", type=int, default=6,
                    help="Epochs per halving phase.")
     p.add_argument("--distill-lr", type=float, default=1e-4)
+    p.add_argument("--reflow", type=int, default=0,
+                   help="After training an FM arch, rectify (ReFlow) and "
+                        "compare this many Euler steps (0 = off).")
+    p.add_argument("--reflow-epochs", type=int, default=6)
     args = p.parse_args(argv)
 
     import jax
@@ -125,6 +129,44 @@ def main(argv=None) -> int:
         "improvement_db": round(trained - untrained, 3),
         "backend": jax.default_backend(),
     }
+
+    if args.reflow:
+        from crowdmod_tpu.models.flow_matching import euler_sample
+        from crowdmod_tpu.train.distiller import reflow as run_reflow
+
+        tmp_pos = cfg.MODEL.FM.TIME_MAX_POS
+
+        def density_psnr_euler(params, n_steps, n=64, seed=0):
+            past, future = ds.gather(np.arange(min(n, len(ds))))
+            pred = euler_sample(
+                lambda x, t, c: trainer.model.apply(params, x, t, c),
+                past, jax.random.PRNGKey(seed), future.shape,
+                steps=n_steps, time_max_pos=tmp_pos,
+            )
+            ranges = F.channel_ranges(future[..., :3])
+            psnr = F.psnr_over_time(pred[..., :3], future[..., :3], ranges)
+            return float(jnp.mean(psnr[..., 0]))
+
+        teacher_params = trainer._sample_params()
+        raw_fewstep = density_psnr_euler(teacher_params, args.reflow)
+        print(f"teacher at {args.reflow} Euler steps: {raw_fewstep:.3f} dB")
+
+        t1 = time.time()
+        run_reflow(
+            trainer, ds, rounds=1, coupling_steps=100,
+            epochs_per_round=args.reflow_epochs, seed=args.seed,
+        )
+        reflow_wall = time.time() - t1
+        student = density_psnr_euler(trainer.state.params, args.reflow)
+        print(f"rectified at {args.reflow} Euler steps: {student:.3f} dB "
+              f"(reflowed in {reflow_wall:.1f}s)")
+        report.update({
+            "reflow_steps": args.reflow,
+            "reflow_wall_s": round(reflow_wall, 1),
+            "teacher_fewstep_psnr_db": round(raw_fewstep, 3),
+            "reflow_psnr_db": round(student, 3),
+            "reflow_gain_db": round(student - raw_fewstep, 3),
+        })
 
     if args.distill:
         from crowdmod_tpu.models.diffusion import distilled_sample
