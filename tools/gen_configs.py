@@ -166,6 +166,27 @@ DATA_LISTS = {
 }
 
 
+# 4test HERMES raw .txt recordings (reference config/4test/*_datafiles.yml):
+# small per-variant subsets of the bottleneck experiment files used as ETL
+# smoke inputs.  Widths in the names are corridor/entrance/exit cm.
+_HERMES_4TEST_RAW = {
+    "BO": [
+        "bo-360-050-050.txt", "bo-360-075-075.txt", "bo-360-090-090.txt",
+        "bo-360-120-120.txt", "bo-360-160-160.txt",
+    ],
+    "BOA": [
+        "boa-300-050-070.txt", "boa-300-050-085.txt", "boa-300-055-095.txt",
+        "boa-300-065-105.txt", "boa-300-080-120.txt",
+    ],
+    "BOT": [
+        "bot-300-050-050.txt", "bot-300-065-065.txt", "bot-300-075-075.txt",
+        "bot-300-085-085.txt", "bot-300-100-100.txt", "bot-360-050-050.txt",
+        "bot-360-075-075.txt", "bot-360-090-090.txt", "bot-360-120-120.txt",
+        "bot-360-160-160.txt", "bot-360-200-200.txt", "bot-360-250-250.txt",
+    ],
+}
+
+
 def datafiles_tree(name: str) -> dict:
     entries = DATA_LISTS[name]
     if isinstance(entries[0], str):
@@ -343,6 +364,20 @@ def main():
         "DATA_LIST": [[f"macroprops30minData4UT-{i}.pkl", 51]
                       for i in range(1, 7)],
     })
+
+    # 4test HERMES raw-trajectory ETL input lists (reference
+    # config/4test/HERMES-BO{,A,T}_datafiles.yml:1-13 role): plain-filename
+    # form naming the bottleneck .txt recordings fed to the ETL stage
+    # (bo = bottleneck, boa = asymmetric widening, bot = two-sided; the
+    # numbers encode corridor/entrance/exit widths in cm).
+    for tag, entries in _HERMES_4TEST_RAW.items():
+        write(OUT / "4test" / f"HERMES-{tag}_datafiles.yml",
+              {"DATA_LIST": list(entries)})
+
+    # Single-raw-file smoke list (reference config/ATC_DSlist4test_one.yml:1-2
+    # role — one unprocessed ATC csv for ETL smoke runs).
+    write(OUT / "ATC_DSlist4test_one.yml",
+          {"DATA_LIST": ["raw30minData4UT.csv"]})
 
     # Miniature smoke config (reference config/4test/ATC.yml semantics):
     # tiny file split, short epochs, ATC4TEST name.
