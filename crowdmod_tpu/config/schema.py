@@ -113,6 +113,10 @@ class DDPMSchema:
     DDIM_DIVIDER: int = opt(2, positive=True)
     SIGMA: float = 0.0
     LAMBDA_GUIDANCE: float = 0.0
+    # Classifier-free guidance: training-time condition dropout probability
+    # and sampling-time guidance scale (1.0 = plain conditional, off).
+    CFG_DROP_PROB: float = 0.0
+    CFG_SCALE: float = 1.0
     CHECKPOINTS_TO_KEEP: int = 0
     UNET: Optional[UNetSchema] = None
     DIT: Optional[DiTSchema] = None
@@ -131,6 +135,10 @@ class FMSchema:
     INTEGRATOR_STEPS: IntegratorStepsSchema = IntegratorStepsSchema()
     TIME_MAX_POS: int = opt(1000, positive=True)
     CHECKPOINTS_TO_KEEP: int = 0
+    # Classifier-free guidance (same semantics as MODEL.DDPM.CFG_*; the
+    # guided field is u_uncond + scale * (u_cond - u_uncond)).
+    CFG_DROP_PROB: float = 0.0
+    CFG_SCALE: float = 1.0
     UNET: Optional[UNetSchema] = None
     DIT: Optional[DiTSchema] = None
 

@@ -37,6 +37,17 @@ def validate_config(cfg: FrozenConfig, arch: str | None = None) -> list[str]:
             f"PAST_LEN+FUTURE_LEN ({p_len}+{f_len})"
         )
 
+    # Classifier-free guidance knobs (DDPM + FM nodes).
+    for node_path in ("MODEL.DDPM", "MODEL.FM"):
+        node = cfg.get_path(node_path)
+        if node is None:
+            continue
+        prob = node.get("CFG_DROP_PROB", 0.0)
+        if not 0.0 <= prob < 1.0:
+            problems.append(
+                f"{node_path}.CFG_DROP_PROB ({prob}) must be in [0, 1)"
+            )
+
     # Architecture-specific geometry rules.
     def check_dit(node, label):
         if node is None:

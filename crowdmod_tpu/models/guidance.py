@@ -1,7 +1,12 @@
-"""Sampling-time guidance: sparsity and mass-preservation.
+"""Sampling-time guidance: sparsity, mass-preservation, classifier-free.
 
 Rebuild of /root/reference/models/guidance.py:4-69 in the native
-``(B, T, H, W, C)`` layout.
+``(B, T, H, W, C)`` layout, plus classifier-free guidance (Ho & Salimans,
+2022) — a beyond-reference capability orthogonal to the reference's two
+post-step corrections: instead of nudging ``x`` after the reverse update,
+CFG transforms the *denoiser* itself, extrapolating between its conditional
+and unconditional predictions.  It applies identically to DDPM epsilon
+models and FM velocity fields.
 
 Divergence from the reference (by design, SURVEY.md §7): the reference
 computes the mass-preservation gradient *numerically*, perturbing every one of
@@ -66,6 +71,57 @@ mass_preservation_gradient = jax.grad(
         continuity_energy(x, delta_t, delta_l)
     )
 )
+
+
+def drop_condition(
+    past: jnp.ndarray, key: jax.Array, prob: float
+) -> jnp.ndarray:
+    """Per-example condition dropout for classifier-free-guidance training.
+
+    Each batch row's ``past`` block is zeroed with probability ``prob``
+    (the null condition), so one model learns both the conditional and the
+    unconditional field.  ``prob`` is trace-static; 0 returns ``past``
+    unchanged.
+    """
+    if not 0.0 <= prob < 1.0:
+        raise ValueError(f"CFG drop probability must be in [0, 1), got {prob}")
+    if prob == 0.0:
+        return past
+    keep = jax.random.bernoulli(key, 1.0 - prob, (past.shape[0],))
+    return past * keep.reshape((-1,) + (1,) * (past.ndim - 1)).astype(past.dtype)
+
+
+def cfg_denoise_fn(denoise_fn, scale: float):
+    """Wrap ``denoise_fn(x, t, past)`` with classifier-free guidance:
+
+        out = f(x, t, 0) + scale * (f(x, t, past) - f(x, t, 0))
+
+    ``scale == 1`` returns ``denoise_fn`` unchanged (pure conditional);
+    ``scale == 0`` is fully unconditional; ``scale > 1`` extrapolates toward
+    the condition.  The two evaluations run as ONE batched forward (batch
+    doubled, single dispatch — on TPU the larger batch partly amortizes the
+    extra FLOPs).  The wrapped fn keeps the ``DenoiseFn`` signature, so
+    every sampler (DDPM/DDIM/DPM-Solver, FM Euler/Heun) takes it unchanged.
+
+    The model must have been trained with condition dropout
+    (:func:`drop_condition`) for the unconditional branch to be meaningful.
+    """
+    if scale == 1.0:
+        return denoise_fn
+
+    def guided(x, t, past):
+        if past is None:
+            raise ValueError(
+                "cfg_denoise_fn needs a condition; got past=None "
+                "(unconditioned sampling cannot be CFG-guided)"
+            )
+        x2 = jnp.concatenate([x, x])
+        t2 = jnp.concatenate([t, t])
+        past2 = jnp.concatenate([past, jnp.zeros_like(past)])
+        eps_c, eps_u = jnp.split(denoise_fn(x2, t2, past2), 2)
+        return eps_u + scale * (eps_c - eps_u)
+
+    return guided
 
 
 def mass_preservation_gradient_fd(

@@ -33,6 +33,7 @@ from crowdmod_tpu.models import factory
 from crowdmod_tpu.models.convrnn import convrnn_loss
 from crowdmod_tpu.models.diffusion import ddim_sample, ddpm_loss, ddpm_sample
 from crowdmod_tpu.models.flow_matching import INTEGRATORS, fm_loss
+from crowdmod_tpu.models.guidance import cfg_denoise_fn, drop_condition
 from crowdmod_tpu.train import checkpoint as ckpt
 from crowdmod_tpu.train.optim import (
     PlateauState,
@@ -153,10 +154,12 @@ class Trainer:
 
         if self.family == "DDPM":
             sched = self.sched
+            cfg_drop = float(cfg.MODEL.DDPM.get("CFG_DROP_PROB", 0.0))
 
             def loss(params, batch, key):
                 past, future = batch
-                dropout, step_key = jax.random.split(key)
+                dropout, drop_key, step_key = jax.random.split(key, 3)
+                past = drop_condition(past, drop_key, cfg_drop)
                 denoise = lambda x, t, c: model.apply(
                     params, x, t, c, **apply_kwargs(dropout)
                 )
@@ -165,10 +168,12 @@ class Trainer:
         elif self.family == "FM":
             w_type = cfg.MODEL.FM.W_TYPE
             tmax = cfg.MODEL.FM.TIME_MAX_POS
+            cfg_drop = float(cfg.MODEL.FM.get("CFG_DROP_PROB", 0.0))
 
             def loss(params, batch, key):
                 past, future = batch
-                dropout, step_key = jax.random.split(key)
+                dropout, drop_key, step_key = jax.random.split(key, 3)
+                past = drop_condition(past, drop_key, cfg_drop)
                 u_fn = lambda x, t, c: model.apply(
                     params, x, t, c, **apply_kwargs(dropout)
                 )
@@ -542,7 +547,14 @@ class Trainer:
     def _denoise_fn(self, params=None):
         if params is None:
             params = self._sample_params()
-        return lambda x, t, c: self.model.apply(params, x, t, c)
+        fn = lambda x, t, c: self.model.apply(params, x, t, c)
+        # Classifier-free guidance at sampling time (scale 1.0 = off); the
+        # wrapper keeps the DenoiseFn signature so every sampler takes it.
+        node = self.cfg.MODEL.DDPM if self.family == "DDPM" else (
+            self.cfg.MODEL.FM if self.family == "FM" else None
+        )
+        scale = float(node.get("CFG_SCALE", 1.0)) if node is not None else 1.0
+        return cfg_denoise_fn(fn, scale)
 
     def sample(self, past: jnp.ndarray, key, *, history: bool = False):
         """Generate future blocks conditioned on ``past`` with the family's
@@ -623,6 +635,13 @@ class Trainer:
                     raise ValueError(
                         "the Distilled sampler is guidance-free; trained "
                         f"trajectories ignore GUIDANCE={node.GUIDANCE!r}"
+                    )
+                if float(node.get("CFG_SCALE", 1.0)) != 1.0:
+                    raise ValueError(
+                        "the Distilled sampler is guidance-free; a CFG-"
+                        "scaled denoiser would push x off the trajectory "
+                        f"the student was trained on (CFG_SCALE="
+                        f"{node.CFG_SCALE})"
                     )
                 from crowdmod_tpu.models.diffusion import distilled_sample
 

@@ -694,3 +694,36 @@ def test_fit_bit_deterministic_same_seed(smoke_cfg, tmp_path):
     tr3 = Trainer(cfg, "DDPM-UNet", seed=4, run_dir=str(tmp_path / "d3"))
     h3 = tr3.fit(ds, epochs=2)
     assert h3["train_loss"] != h1["train_loss"]
+
+
+def test_cfg_training_and_guided_sampling(smoke_cfg, tmp_path):
+    """Classifier-free guidance end-to-end: condition-dropout training runs
+    (finite loss), CFG-scaled sampling works through Trainer.sample, and the
+    guided chain differs from the pure-conditional one at the same key."""
+    cfg = tiny_cfg(smoke_cfg, tmp_path)
+    cfg = cfg.updated({"MODEL": {"DDPM": {"CFG_DROP_PROB": 0.3}}})
+    ds = walker_ds(cfg)
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run"))
+    hist = tr.fit(ds, ds)
+    assert np.isfinite(hist["train_loss"]).all()
+
+    past, _ = ds.gather(np.arange(2))
+    base = tr.sample(past, jax.random.PRNGKey(0))
+
+    tr.cfg = cfg.updated({"MODEL": {"DDPM": {"CFG_SCALE": 3.0}}})
+    guided = tr.sample(past, jax.random.PRNGKey(0))
+    assert guided.shape == base.shape
+    assert np.isfinite(np.asarray(guided)).all()
+    assert not np.allclose(np.asarray(guided), np.asarray(base))
+
+
+def test_cfg_scale_rejected_by_distilled_sampler(smoke_cfg, tmp_path):
+    cfg = tiny_cfg(smoke_cfg, tmp_path)
+    cfg = cfg.updated({"MODEL": {"DDPM": {
+        "SAMPLER": "Distilled", "CFG_SCALE": 2.0,
+    }}})
+    ds = walker_ds(cfg)
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run")).setup()
+    past, _ = ds.gather(np.arange(2))
+    with pytest.raises(ValueError, match="CFG_SCALE"):
+        tr.sample(past, jax.random.PRNGKey(0))
