@@ -86,15 +86,17 @@ def check_configs(results):
     import pathlib
 
     from crowdmod_tpu.config import load_config
+    from crowdmod_tpu.config.loader import is_datafile_list
     from crowdmod_tpu.config.validate import validate_config
 
     repo = pathlib.Path(__file__).resolve().parents[2]
     bad = []
     n = 0
     for yml in sorted((repo / "configs").rglob("*.yml")):
-        # Companion files, not dataset configs: datafile lists and the HTML
-        # viewer's models list.
-        if yml.name.endswith("_datafiles.yml") or yml.name == "models_list.yml":
+        # Companion files, not dataset configs: datafile lists (classified by
+        # content, not filename — see is_datafile_list) and the HTML viewer's
+        # models list.
+        if yml.name == "models_list.yml" or is_datafile_list(yml):
             continue
         n += 1
         # One unparseable config must report FAIL, not crash the doctor

@@ -43,6 +43,28 @@ def _load_yaml(path: str | os.PathLike) -> dict:
     return data or {}
 
 
+def is_datafile_list(path: str | os.PathLike) -> bool:
+    """True if ``path`` is a datafile-list YAML, judged by *content*.
+
+    The reference ships two shapes of companion file (not dataset configs):
+    ``DATA_LIST`` mappings of ``[pkl, n_samples]`` pairs or bare filenames
+    (/root/reference/config/ATC_datafiles.yml:1-42,
+    ATC_DSlist4test_one.yml:1-3) and plain top-level filename lists
+    (ETHUCY_ddpm_DSlist.yml:1-8).  Filename suffixes are a convention, not a
+    contract — classify by structure so new companion files (whatever they
+    are named) are never schema-validated as dataset configs.
+    """
+    try:
+        data = _load_yaml(path)
+    except Exception:
+        return False
+    if isinstance(data, list):
+        return True
+    if isinstance(data, dict) and data:
+        return set(data) <= {"DATA_LIST"}
+    return False
+
+
 def load_config(
     config_yml_file: str | os.PathLike,
     datafiles_yml_file: str | os.PathLike | None = None,

@@ -47,6 +47,17 @@ def validate_config(cfg: FrozenConfig, arch: str | None = None) -> list[str]:
             problems.append(
                 f"{node_path}.CFG_DROP_PROB ({prob}) must be in [0, 1)"
             )
+        # Guided sampling (CFG_SCALE != 1) needs a trained unconditional
+        # branch, which only exists when training dropped the condition
+        # sometimes (CFG_DROP_PROB > 0) — see models/guidance.py docstring.
+        scale = node.get("CFG_SCALE", 1.0)
+        if scale != 1.0 and prob == 0.0:
+            problems.append(
+                f"{node_path}.CFG_SCALE ({scale}) != 1.0 but CFG_DROP_PROB "
+                "is 0.0: the model has no trained unconditional branch to "
+                "guide against; set CFG_DROP_PROB > 0 for training or "
+                "CFG_SCALE to 1.0 for sampling"
+            )
 
     # Architecture-specific geometry rules.
     def check_dit(node, label):

@@ -386,7 +386,7 @@ class DiT4DTube(DiT4DJoint):
     (FinalLayer → F·C·p², DiT4D.py:120-137); with t_patch == T_total our
     unpatch emits all frames and the future slice is identical — the past
     positions of the zero-init final layer simply learn nothing.
-    Construct via :func:`make_tube` so t_patch == past+future.
+    Construct via :meth:`DiT4DTube.make` so t_patch == past+future.
     """
 
     @classmethod

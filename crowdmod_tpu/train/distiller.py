@@ -219,6 +219,19 @@ def reflow(
             f"reflow dataset yields no full batches: {len(train_ds)} "
             f"windows < DATASET.BATCH_SIZE={batch_size}"
         )
+    # Rectification retrains exclusively on conditional pasts (reflow_loss
+    # has no condition dropout) and builds couplings with the *unguided*
+    # teacher, so the student's unconditional branch goes stale — CFG-guided
+    # sampling of the rectified field would silently degrade.  Reject, like
+    # the Distilled-sampler guard does (trainer.py CFG_SCALE check).
+    if float(trainer.cfg.MODEL.FM.get("CFG_SCALE", 1.0)) != 1.0:
+        raise ValueError(
+            "reflow produces a guidance-free rectified field; its "
+            "unconditional branch is not retrained, so sampling with "
+            f"CFG_SCALE={trainer.cfg.MODEL.FM.CFG_SCALE} would apply "
+            "guidance against stale null-condition predictions. Set "
+            "MODEL.FM.CFG_SCALE to 1.0 before reflowing."
+        )
 
     from crowdmod_tpu.models.flow_matching.reflow import (
         generate_coupling,

@@ -158,8 +158,16 @@ class Trainer:
 
             def loss(params, batch, key):
                 past, future = batch
-                dropout, drop_key, step_key = jax.random.split(key, 3)
-                past = drop_condition(past, drop_key, cfg_drop)
+                # Condition dropout is a *training* regularizer: skip it in
+                # the deterministic (eval) variant so val loss matches the
+                # reference's model.eval() semantics, and skip the extra key
+                # split when the feature is off so pre-CFG RNG streams (and
+                # same-seed reproducibility) are preserved.
+                if cfg_drop > 0.0 and not deterministic:
+                    dropout, drop_key, step_key = jax.random.split(key, 3)
+                    past = drop_condition(past, drop_key, cfg_drop)
+                else:
+                    dropout, step_key = jax.random.split(key)
                 denoise = lambda x, t, c: model.apply(
                     params, x, t, c, **apply_kwargs(dropout)
                 )
@@ -172,8 +180,12 @@ class Trainer:
 
             def loss(params, batch, key):
                 past, future = batch
-                dropout, drop_key, step_key = jax.random.split(key, 3)
-                past = drop_condition(past, drop_key, cfg_drop)
+                # Same dropout/RNG-stream discipline as the DDPM branch.
+                if cfg_drop > 0.0 and not deterministic:
+                    dropout, drop_key, step_key = jax.random.split(key, 3)
+                    past = drop_condition(past, drop_key, cfg_drop)
+                else:
+                    dropout, step_key = jax.random.split(key)
                 u_fn = lambda x, t, c: model.apply(
                     params, x, t, c, **apply_kwargs(dropout)
                 )

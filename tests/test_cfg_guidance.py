@@ -149,3 +149,38 @@ def test_validate_flags_bad_cfg_drop_prob(atc_cfg):
     ok = atc_cfg.updated({"MODEL": {"FM": {"CFG_DROP_PROB": 0.2,
                                            "CFG_SCALE": 3.0}}})
     assert validate_config(ok, "FM-UNet") == []
+
+
+def test_validate_flags_scale_without_drop(atc_cfg):
+    """CFG_SCALE != 1 with CFG_DROP_PROB == 0 means guiding against an
+    unconditional branch the model never trained — must be flagged."""
+    from crowdmod_tpu.config.validate import validate_config
+
+    for node in ("DDPM", "FM"):
+        bad = atc_cfg.updated({"MODEL": {node: {"CFG_SCALE": 2.0,
+                                                "CFG_DROP_PROB": 0.0}}})
+        problems = validate_config(bad)
+        assert any("CFG_SCALE" in p for p in problems), node
+    # Scale 1.0 (guidance off) with zero drop is the default and fine.
+    assert validate_config(atc_cfg) == []
+
+
+def test_reflow_rejects_cfg_scale(atc_cfg):
+    """reflow() must refuse a config that will CFG-sample the rectified
+    field: rectification stales the unconditional branch (distiller.py)."""
+    from crowdmod_tpu.train.distiller import reflow
+
+    class FakeDS:
+        def __len__(self):
+            return 64
+
+    class FakeTrainer:
+        family = "FM"
+        arch = "FM-UNet"
+        state = object()  # "restored"
+        cfg = atc_cfg.updated(
+            {"MODEL": {"FM": {"CFG_SCALE": 2.0, "CFG_DROP_PROB": 0.1}}}
+        )
+
+    with pytest.raises(ValueError, match="CFG_SCALE"):
+        reflow(FakeTrainer(), FakeDS())

@@ -582,6 +582,27 @@ def test_eval_loss_is_deterministic_mode(smoke_cfg, tmp_path):
     assert np.isfinite(v1) and v1 == v2
 
 
+def test_eval_loss_skips_condition_dropout(smoke_cfg, tmp_path):
+    """Condition dropout (CFG_DROP_PROB) is a training regularizer; the
+    deterministic (eval) loss must not randomly un-condition rows, so at
+    identical params/key it equals the loss of a drop-free config."""
+    base = tiny_cfg(smoke_cfg, tmp_path)
+    with_drop = base.updated({"MODEL": {"DDPM": {"CFG_DROP_PROB": 0.5}}})
+    tr_a = Trainer(base, "DDPM-UNet", seed=0,
+                   run_dir=str(tmp_path / "a")).setup()
+    tr_b = Trainer(with_drop, "DDPM-UNet", seed=0,
+                   run_dir=str(tmp_path / "b")).setup()
+    ds = walker_ds(base)
+    batch = ds.gather(np.arange(4))
+    key = jax.random.PRNGKey(3)
+    e_a = float(tr_a._loss_fn(deterministic=True)(tr_a.state.params, batch, key))
+    e_b = float(tr_b._loss_fn(deterministic=True)(tr_b.state.params, batch, key))
+    assert e_a == e_b
+    # The *training* closure with drop > 0 must differ (rows get zeroed).
+    t_b = float(tr_b._loss_fn()(tr_b.state.params, batch, key))
+    assert abs(t_b - e_b) > 1e-9
+
+
 def test_resume_does_not_clobber_best_checkpoint(smoke_cfg, tmp_path):
     """After resume_from_abort, a worse first epoch must not overwrite the
     pre-crash best-loss '000' checkpoint."""
