@@ -283,7 +283,8 @@ def run(argv=None) -> int:
              "localhost (e.g. 0.0.0.0) must be an explicit choice",
     )
     p.add_argument("--port", type=int, default=8000)
-    p.add_argument("--batch-buckets", type=int, nargs="+", default=[1, 8, 64])
+    p.add_argument("--batch-buckets", type=int, nargs="+",
+                   default=[1, 8, 64, 256])
     p.add_argument("--max-delay-ms", type=float, default=5.0,
                    help="micro-batching window for request coalescing")
     p.add_argument("--max-queue", type=int, default=4096,

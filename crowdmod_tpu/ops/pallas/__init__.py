@@ -38,6 +38,11 @@ DEFAULT_MODES = {
     "attention": "off",
     "groupnorm": "off",
     "fused_step": "off",
+    # Weight-stationary fused resblock (ops/pallas/resblock.py): unlike the
+    # standalone kernels above it REPLACES a whole chain of XLA ops (2 GNs,
+    # 2 convs, adds) rather than splitting a fusion, so the measured default
+    # differs — see PERF.md round 3.
+    "resblock": "off",
 }
 
 
@@ -76,10 +81,12 @@ def pallas_mode(op: str | None = None) -> str:
 from crowdmod_tpu.ops.pallas.attention import fused_attention  # noqa: E402
 from crowdmod_tpu.ops.pallas.fused_step import fused_ancestral_update  # noqa: E402
 from crowdmod_tpu.ops.pallas.groupnorm import fused_group_norm  # noqa: E402
+from crowdmod_tpu.ops.pallas.resblock import fused_resblock  # noqa: E402
 
 __all__ = [
     "pallas_mode",
     "fused_attention",
     "fused_group_norm",
     "fused_ancestral_update",
+    "fused_resblock",
 ]

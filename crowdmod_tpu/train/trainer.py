@@ -559,7 +559,20 @@ class Trainer:
     def _denoise_fn(self, params=None):
         if params is None:
             params = self._sample_params()
-        fn = lambda x, t, c: self.model.apply(params, x, t, c)
+        from crowdmod_tpu.ops.pallas import pallas_mode
+
+        if "UNet" in self.arch and pallas_mode("resblock") != "off":
+            # Weight-stationary fused resblock kernels on the sampler path
+            # (ops/pallas/resblock.py): level-0 blocks run as one Pallas
+            # kernel each, ineligible blocks fall through inside the
+            # interceptor.  Deterministic path only — exactly this one.
+            from crowdmod_tpu.models.backbones.fused_apply import (
+                fused_unet_apply,
+            )
+
+            fn = lambda x, t, c: fused_unet_apply(self.model, params, x, t, c)
+        else:
+            fn = lambda x, t, c: self.model.apply(params, x, t, c)
         # Classifier-free guidance at sampling time (scale 1.0 = off); the
         # wrapper keeps the DenoiseFn signature so every sampler takes it.
         node = self.cfg.MODEL.DDPM if self.family == "DDPM" else (

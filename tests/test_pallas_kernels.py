@@ -298,3 +298,156 @@ def test_groupnorm_rejects_indivisible_channels():
     x = rand(0, (2, 5, 12))
     with pytest.raises(ValueError, match="divisible"):
         fused_group_norm(x, jnp.ones(12), jnp.zeros(12), num_groups=8)
+
+
+# --------------------------------------------------------------------------
+# Weight-stationary fused resblock (ops/pallas/resblock.py)
+# --------------------------------------------------------------------------
+
+def _resblock_weights(key, cin, cout):
+    ks = jax.random.split(jax.random.PRNGKey(key), 10)
+    n = lambda k, s, sc: jax.random.normal(k, s, jnp.float32) * sc
+    w = {
+        "gn1_scale": n(ks[0], (cin,), 0.1) + 1.0,
+        "gn1_bias": n(ks[1], (cin,), 0.1),
+        "w1": n(ks[2], (3, 3, 3, cin, cout), 0.05),
+        "b1": n(ks[3], (cout,), 0.1),
+        "gn2_scale": n(ks[4], (cout,), 0.1) + 1.0,
+        "gn2_bias": n(ks[5], (cout,), 0.1),
+        "w2": n(ks[6], (3, 3, 3, cout, cout), 0.05),
+        "b2": n(ks[7], (cout,), 0.1),
+    }
+    if cin != cout:
+        w["w_skip"] = n(ks[8], (1, 1, 1, cin, cout), 0.1)
+        w["b_skip"] = n(ks[9], (cout,), 0.1)
+    return w
+
+
+@pytest.mark.parametrize(
+    "cin,cout,vol",
+    [
+        (32, 32, (4, 6, 8)),    # identity skip
+        (96, 32, (4, 6, 8)),    # decoder concat + 1x1 skip-match
+        (64, 32, (2, 3, 9)),    # smallest level geometry (wrap-safety edge)
+        (32, 64, (4, 6, 8)),    # widening block
+    ],
+)
+def test_resblock_interpret_matches_reference(cin, cout, vol):
+    from crowdmod_tpu.ops.pallas.resblock import (
+        fused_resblock,
+        resblock_reference,
+    )
+
+    t, h, w_ = vol
+    x = rand(cin + cout, (2, t, h, w_, cin))
+    temb = rand(1, (2, cout))
+    w = _resblock_weights(2, cin, cout)
+    ref = resblock_reference(x, temb, w)
+    out = fused_resblock(x, temb, w, mode="interpret")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref),
+        atol=2e-5 * float(jnp.max(jnp.abs(ref))),
+    )
+
+
+def test_resblock_reference_matches_module():
+    """The jnp oracle must equal the real ResnetBlock3D.apply, so the fused
+    kernel is transitively pinned to the model the checkpoints were trained
+    with (deterministic path; Dropout3d is identity there)."""
+    from crowdmod_tpu.models.backbones.unet3d import ResnetBlock3D
+    from crowdmod_tpu.ops.pallas.resblock import resblock_reference
+
+    cin, cout = 32, 16
+    x = rand(0, (2, 3, 4, 6, cin))
+    temb = rand(1, (2, 24))
+    mod = ResnetBlock3D(out_channels=cout, dropout_rate=0.5)
+    params = mod.init(jax.random.PRNGKey(0), x, temb)["params"]
+    ref = mod.apply({"params": params}, x, temb, True)
+
+    p = params
+    w = {
+        "gn1_scale": p["GroupNormSiLU_0"]["scale"],
+        "gn1_bias": p["GroupNormSiLU_0"]["bias"],
+        "w1": p["conv1"]["kernel"],
+        "b1": p["conv1"]["bias"],
+        "gn2_scale": p["GroupNormSiLU_1"]["scale"],
+        "gn2_bias": p["GroupNormSiLU_1"]["bias"],
+        "w2": p["conv2"]["kernel"],
+        "b2": p["conv2"]["bias"],
+        "w_skip": p["match_input"]["kernel"],
+        "b_skip": p["match_input"]["bias"],
+    }
+    temb_proj = (
+        nn.silu(temb) @ p["time_dense"]["kernel"] + p["time_dense"]["bias"]
+    )
+    out = resblock_reference(x, temb_proj, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_resblock_gradients_flow():
+    from crowdmod_tpu.ops.pallas.resblock import fused_resblock
+
+    x = rand(0, (1, 2, 4, 6, 32))
+    temb = rand(1, (1, 32))
+    w = _resblock_weights(2, 32, 32)
+    loss = lambda x, t, w: jnp.sum(
+        fused_resblock(x, t, w, mode="interpret") ** 2
+    )
+    gx, gt, gw = jax.grad(loss, argnums=(0, 1, 2))(x, temb, w)
+    assert bool(jnp.isfinite(gx).all()) and float(jnp.abs(gx).max()) > 0
+    assert bool(jnp.isfinite(gt).all())
+    for leaf in jax.tree.leaves(gw):
+        assert bool(jnp.isfinite(leaf).all())
+
+
+def test_resblock_off_mode_and_indivisible_fallback():
+    """mode='off' and non-multiple-of-8 channel counts route to the jnp
+    reference (identical results by construction)."""
+    from crowdmod_tpu.ops.pallas.resblock import (
+        fused_resblock,
+        resblock_reference,
+    )
+
+    x = rand(0, (1, 2, 4, 6, 32))
+    temb = rand(1, (1, 32))
+    w = _resblock_weights(2, 32, 32)
+    np.testing.assert_array_equal(
+        np.asarray(fused_resblock(x, temb, w, mode="off")),
+        np.asarray(resblock_reference(x, temb, w)),
+    )
+
+
+def test_fused_unet_apply_matches_model():
+    """The interceptor-routed UNet forward (level-0 resblocks through the
+    fused kernel, everything else untouched) equals plain model.apply."""
+    from crowdmod_tpu.models.backbones.fused_apply import (
+        MIN_FUSED_VOLUME,
+        fused_unet_apply,
+    )
+    from crowdmod_tpu.models.backbones.unet3d import UNet3D
+
+    t, h, w_, c = 8, 12, 12, 3  # level-0 volume 1152 >= MIN_FUSED_VOLUME
+    assert t * h * w_ >= MIN_FUSED_VOLUME
+    model = UNet3D(
+        out_channels=c, base_channels=8, base_channels_multiples=(1, 2),
+        apply_attention=(False, True), dropout_rate=0.2,
+    )
+    past = rand(0, (2, 5, h, w_, c))
+    future = rand(1, (2, 3, h, w_, c))
+    tt = jnp.array([3.0, 7.0])
+    variables = model.init(jax.random.PRNGKey(0), future, tt, past)
+    ref = model.apply(variables, future, tt, past, deterministic=True)
+    out = fused_unet_apply(model, variables, future, tt, past,
+                           mode="interpret")
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref),
+        atol=3e-5 * float(jnp.max(jnp.abs(ref))),
+    )
+    # With mode='off' the interceptor routes to the jnp reference — still
+    # equal, proving the fall-through plumbing.
+    off = fused_unet_apply(model, variables, future, tt, past, mode="off")
+    np.testing.assert_allclose(
+        np.asarray(off), np.asarray(ref),
+        atol=3e-5 * float(jnp.max(jnp.abs(ref))),
+    )

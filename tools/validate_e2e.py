@@ -51,6 +51,12 @@ def main(argv=None) -> int:
                    help="After training an FM arch, rectify (ReFlow) and "
                         "compare this many Euler steps (0 = off).")
     p.add_argument("--reflow-epochs", type=int, default=6)
+    p.add_argument("--cfg-drop", type=float, default=0.0,
+                   help="Train with classifier-free-guidance condition "
+                        "dropout (MODEL.*.CFG_DROP_PROB).")
+    p.add_argument("--cfg-scales", type=float, nargs="*", default=[],
+                   help="After training, score guided sampling at each "
+                        "CFG_SCALE (requires --cfg-drop > 0).")
     args = p.parse_args(argv)
 
     import jax
@@ -74,10 +80,13 @@ def main(argv=None) -> int:
             "DDPM": {
                 "SAMPLER": args.sampler, "DPM_STEPS": 25, "DDIM_DIVIDER": 10,
                 "UNET": epochs_node, "DIT": epochs_node,
+                **({"CFG_DROP_PROB": args.cfg_drop} if args.cfg_drop else {}),
             },
             "FM": {"UNET": epochs_node, "DIT": epochs_node,
                    "INTEGRATOR_STEPS": {"EULER": 100, "HEUN": 50},
-                   **({"W_TYPE": args.w_type} if args.w_type else {})},
+                   **({"W_TYPE": args.w_type} if args.w_type else {}),
+                   **({"CFG_DROP_PROB": args.cfg_drop}
+                      if args.cfg_drop else {})},
             "CONVRNN": epochs_node,
         },
     })
@@ -129,6 +138,27 @@ def main(argv=None) -> int:
         "improvement_db": round(trained - untrained, 3),
         "backend": jax.default_backend(),
     }
+    if args.cfg_drop:
+        report["cfg_drop_prob"] = args.cfg_drop
+
+    if args.cfg_scales:
+        # CFG quality study (guidance family precedent: reference
+        # models/guidance.py:4-69): the same trained model, sampled at each
+        # guidance scale — scale 1.0 is the pure-conditional baseline.
+        if not args.cfg_drop:
+            raise SystemExit("--cfg-scales needs --cfg-drop > 0 (no trained "
+                             "unconditional branch otherwise)")
+        node = "FM" if args.arch.startswith("FM") else "DDPM"
+        cfg_psnr = {}
+        for scale in args.cfg_scales:
+            trainer.cfg = cfg.updated(
+                {"MODEL": {node: {"CFG_SCALE": float(scale)}}}
+            )
+            cfg_psnr[str(scale)] = round(density_psnr(trainer), 3)
+            print(f"CFG_SCALE={scale}: density PSNR "
+                  f"{cfg_psnr[str(scale)]:.3f} dB", flush=True)
+        trainer.cfg = cfg
+        report["cfg_scale_density_psnr_db"] = cfg_psnr
 
     if args.reflow:
         from crowdmod_tpu.models.flow_matching import euler_sample
