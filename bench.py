@@ -32,25 +32,23 @@ import jax.numpy as jnp
 BASELINE_STEPS_PER_SEC = 25_000.0
 
 
-def main():
+def _round_trip():
+    """Dispatch+readback round trip, subtracted from each rep: on tunneled
+    TPU backends it is ~30-130 ms, a real bias at ~1 s/chain."""
+    triv = jax.jit(lambda x: x + 1.0)
+    y = triv(jnp.zeros((8,)))
+    _ = float(y[0])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        y = triv(y)
+        _ = float(y[0])
+    return (time.perf_counter() - t0) / 5
+
+
+def _measure_sampler(model, b, p, f, h, w, c, timesteps, rt):
     from crowdmod_tpu.core.schedule import linear_schedule
-    from crowdmod_tpu.models.backbones.dit import DiT4DFactorized
     from crowdmod_tpu.models.diffusion import ddpm_sample
 
-    on_tpu = jax.default_backend() == "tpu"
-    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
-
-    b, p, f, h, w, c = 64, 5, 3, 12, 36, 3
-    timesteps = 1000
-
-    # Reference DDPM-DiT config (configs/ATC.yml MODEL.DDPM.DIT).
-    model = DiT4DFactorized(
-        out_channels=c, grid_rows=h, grid_cols=w,
-        patch_size=4, hidden_size=256, depth=6, num_heads=4,
-        mlp_ratio=4.0, dropout_rate=0.1, time_multiple=4,
-        past_len=p, future_len=f, t_patch_size=4,
-        dtype=compute_dtype,
-    )
     past = jnp.zeros((b, p, h, w, c), jnp.float32)
     future = jnp.zeros((b, f, h, w, c), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), future, jnp.zeros((b,)), past)
@@ -68,34 +66,59 @@ def main():
     out = sample(past, jax.random.PRNGKey(1))
     _ = float(jnp.ravel(out)[0])
 
-    # Dispatch+readback round trip, subtracted from each rep: on tunneled
-    # TPU backends it is ~30-130 ms, a real bias at ~1 s/chain.
-    triv = jax.jit(lambda x: x + 1.0)
-    y = triv(jnp.zeros((8,)))
-    _ = float(y[0])
-    t0 = time.perf_counter()
-    for _ in range(5):
-        y = triv(y)
-        _ = float(y[0])
-    rt = (time.perf_counter() - t0) / 5
-
-    reps = 3
     times = []
-    for i in range(reps):
+    for i in range(3):
         start = time.perf_counter()
         out = sample(past, jax.random.PRNGKey(2 + i))
         _ = float(jnp.ravel(out)[0])
         times.append(time.perf_counter() - start - rt)
-    elapsed = min(times)
+    return b * timesteps / min(times)
 
-    steps_per_sec = b * timesteps / elapsed
+
+def main():
+    from crowdmod_tpu.models.backbones.dit import DiT4DFactorized
+    from crowdmod_tpu.models.backbones.unet3d import UNet3D
+
+    on_tpu = jax.default_backend() == "tpu"
+    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    b, p, f, h, w, c = 64, 5, 3, 12, 36, 3
+    timesteps = 1000 if on_tpu else 10
+
+    # Reference DDPM-DiT config (configs/ATC.yml MODEL.DDPM.DIT) — the
+    # flagship and headline number.
+    dit = DiT4DFactorized(
+        out_channels=c, grid_rows=h, grid_cols=w,
+        patch_size=4, hidden_size=256, depth=6, num_heads=4,
+        mlp_ratio=4.0, dropout_rate=0.1, time_multiple=4,
+        past_len=p, future_len=f, t_patch_size=4,
+        dtype=compute_dtype,
+    )
+    # Reference DDPM-UNet config (MODEL.DDPM.UNET) — reported alongside so
+    # the driver-captured record carries the below-target family too
+    # (PERF.md "the UNet 25k question"): the flagship clears the 25k bar,
+    # the UNet does not, and hiding that would make the headline dishonest.
+    unet = UNet3D(
+        out_channels=c, base_channels=32, base_channels_multiples=(1, 2, 4),
+        apply_attention=(False, False, True), dropout_rate=0.1,
+        dtype=compute_dtype,
+    )
+
+    rt = _round_trip()
+    dit_sps = _measure_sampler(dit, b, p, f, h, w, c, timesteps, rt)
+    unet_sps = _measure_sampler(unet, b, p, f, h, w, c, timesteps, rt)
+
     print(
         json.dumps(
             {
                 "metric": "ddpm_denoise_steps_per_sec_per_chip",
-                "value": round(steps_per_sec, 1),
+                "value": round(dit_sps, 1),
                 "unit": "sample-steps/s (batch 64, ATC 12x36x3 grid, DiT4D-factorized 11.7M params, T=1000)",
-                "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+                "vs_baseline": round(dit_sps / BASELINE_STEPS_PER_SEC, 3),
+                "unet_steps_per_sec": round(unet_sps, 1),
+                "unet_vs_baseline": round(
+                    unet_sps / BASELINE_STEPS_PER_SEC, 3
+                ),
             }
         )
     )
