@@ -165,3 +165,35 @@ def test_api_docs_in_sync(tmp_path):
     for sym in ("ddpm_sample", "BatchingQueue", "FileWindowStream",
                 "typed_config", "MetricsEngine"):
         assert sym in committed, f"{sym} missing from API reference"
+
+
+def test_soak_http_driver(workspace, tmp_path):
+    """The HTTP soak driver end-to-end at toy scale: train → serve → hammer.
+
+    Exercises the full serve stack (ServingApp + ThreadingHTTPServer +
+    BatchingQueue) the PERF.md soak rows are produced with.
+    """
+    import json
+
+    ws = workspace
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import soak_http
+    finally:
+        sys.path.pop(0)
+    out = tmp_path / "soak.json"
+    rc = soak_http.main([
+        "--arch", "DDPM-UNet", "--config-yml-file", ws["cfg"],
+        "--clients", "3", "--req-batch", "2", "--duration", "3",
+        "--ramp-s", "0.5", "--batch-buckets", "1", "4", "8",
+        "--ddim-divider", "2", "--train-epochs", "1",
+        "--workdir", str(ws["tmp"] / "soakwork"), "--out", str(out),
+    ])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["errors"] == 0
+    assert report["requests_total"] > 0
+    assert report["steady_req_per_s"] > 0
+    assert report["latency_ms"]["p95"] >= report["latency_ms"]["p50"]
+    # Concurrent keyless batch-2 requests must have coalesced at least once.
+    assert report["dispatches"] is not None
