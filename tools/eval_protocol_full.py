@@ -53,13 +53,21 @@ def build_corpus(out_dir, n_files=6, per_file=64, h=12, w=36, seq_len=24,
             kind = rng.choice(["FORWARD", "BACKWARD", "ALL"])
             s = synthetic_walkers(1, h, w, seq_len, vel_x=vel, row=row,
                                   kind=str(kind))[0]
+            # Per-sequence vertical drift so the vy channel is non-degenerate
+            # (a zero GT range turns PSNR into -inf at metric time).
+            s[..., 2] = s[..., 1] * float(rng.uniform(-0.5, 0.5))
             # Low-rate background occupancy so densities differ per seq.
             noise = (rng.random((seq_len, h, w, 1)) < 0.02).astype(np.float32)
             s = s + np.concatenate(
                 [noise, np.zeros((seq_len, h, w, 2), np.float32)], axis=-1
             )
+            # Reference pickles carry 4 macroprop channels (ρ, vx, vy, σ²);
+            # walkers have zero velocity variance.
+            s = np.concatenate(
+                [s, np.zeros(s.shape[:-1] + (1,), np.float32)], axis=-1
+            )
             seqs.append(s)
-        arr = np.stack(seqs)  # (N, L, H, W, C)
+        arr = np.stack(seqs)  # (N, L, H, W, 4)
         arr = arr.transpose(0, 4, 2, 3, 1).astype(np.float32)  # (N,C,H,W,L)
         name = f"walkers_{k}.pkl"
         with open(os.path.join(pkl_dir, name), "wb") as f:
