@@ -27,6 +27,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent XLA compilation cache (VERDICT round-2 item 6: the slow tier is
+# compile-dominated).  Many tests build near-identical programs — the same
+# smoke-config trainer/sampler at the same shapes — but from distinct jit
+# closures, so the in-process jit cache never hits.  A disk cache keyed on
+# HLO hash dedupes those compiles both *within* one pytest run and across
+# runs.  Keyed by XLA version internally, so stale entries self-invalidate;
+# wiped trivially with `rm -rf .jax_test_cache`.
+_CACHE_DIR = os.path.join(REPO_ROOT, ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 assert jax.device_count() == 8, "expected 8 virtual CPU devices for tests"
 
 import pytest  # noqa: E402

@@ -4,6 +4,7 @@ produce actionable error lists."""
 import pytest
 
 from crowdmod_tpu.config import load_config
+from crowdmod_tpu.config.loader import is_datafile_list
 from crowdmod_tpu.config.validate import require_valid, validate_config
 
 
@@ -23,13 +24,15 @@ def test_all_shipped_configs_valid():
                 data = yaml.safe_load(f)
             assert set(data) == {"MODELS"}, yml.name
             continue
-        if yml.name.endswith("_datafiles.yml"):
-            # Companion datafile lists (reference config/ATC_datafiles.yml
-            # shape), not full configs: a DATA_LIST of (filename, count).
+        if is_datafile_list(yml):
+            # Companion datafile lists (reference config/ATC_datafiles.yml,
+            # ATC_DSlist4test_one.yml shapes), not full configs — classified
+            # by content, exactly as crowdmod doctor does (the round-2
+            # suffix-matching defect lived here too).
             with open(yml) as f:
                 data = yaml.safe_load(f)
-            assert set(data) == {"DATA_LIST"}, yml.name
-            for entry in data["DATA_LIST"]:
+            entries = data if isinstance(data, list) else data["DATA_LIST"]
+            for entry in entries:
                 # Both reference forms: bare filename, or (filename, count).
                 if isinstance(entry, str):
                     continue
