@@ -39,6 +39,11 @@ _CACHE_DIR = os.path.join(REPO_ROOT, ".jax_test_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Export as env vars too, so tests that exec CLI/example subprocesses share
+# the same cache (a fresh interpreter never imports this conftest).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 assert jax.device_count() == 8, "expected 8 virtual CPU devices for tests"
 
