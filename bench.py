@@ -35,14 +35,9 @@ BASELINE_STEPS_PER_SEC = 25_000.0
 def _round_trip():
     """Dispatch+readback round trip, subtracted from each rep: on tunneled
     TPU backends it is ~30-130 ms, a real bias at ~1 s/chain."""
-    triv = jax.jit(lambda x: x + 1.0)
-    y = triv(jnp.zeros((8,)))
-    _ = float(y[0])
-    t0 = time.perf_counter()
-    for _ in range(5):
-        y = triv(y)
-        _ = float(y[0])
-    return (time.perf_counter() - t0) / 5
+    from crowdmod_tpu.utils.profiling import measure_round_trip
+
+    return measure_round_trip()
 
 
 def _measure_sampler(model, b, p, f, h, w, c, timesteps, rt):
@@ -108,20 +103,25 @@ def main():
     dit_sps = _measure_sampler(dit, b, p, f, h, w, c, timesteps, rt)
     unet_sps = _measure_sampler(unet, b, p, f, h, w, c, timesteps, rt)
 
-    print(
-        json.dumps(
-            {
-                "metric": "ddpm_denoise_steps_per_sec_per_chip",
-                "value": round(dit_sps, 1),
-                "unit": "sample-steps/s (batch 64, ATC 12x36x3 grid, DiT4D-factorized 11.7M params, T=1000)",
-                "vs_baseline": round(dit_sps / BASELINE_STEPS_PER_SEC, 3),
-                "unet_steps_per_sec": round(unet_sps, 1),
-                "unet_vs_baseline": round(
-                    unet_sps / BASELINE_STEPS_PER_SEC, 3
-                ),
-            }
-        )
-    )
+    record = {
+        "metric": "ddpm_denoise_steps_per_sec_per_chip",
+        "value": round(dit_sps, 1),
+        "unit": (
+            "sample-steps/s (batch 64, ATC 12x36x3 grid, "
+            f"DiT4D-factorized 11.7M params, T={timesteps})"
+        ),
+        "vs_baseline": round(dit_sps / BASELINE_STEPS_PER_SEC, 3),
+        "unet_steps_per_sec": round(unet_sps, 1),
+        "unet_vs_baseline": round(unet_sps / BASELINE_STEPS_PER_SEC, 3),
+        "backend": jax.default_backend(),
+    }
+    if not on_tpu:
+        # The baseline is a TPU v5e T=1000 target; a CPU smoke run at T=10
+        # is not comparable and must not be recorded as if it were.
+        record["vs_baseline"] = None
+        record["unet_vs_baseline"] = None
+        record["note"] = "non-TPU smoke run; vs_baseline only valid on TPU"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -26,6 +26,26 @@ def trace(log_dir: str, *, enabled: bool = True):
         yield
 
 
+def measure_round_trip(iters: int = 5) -> float:
+    """Mean dispatch+readback round trip of a trivial jitted program.
+
+    On tunneled TPU backends this is ~30-130 ms — a real bias at ~1 s/chain
+    that every bench harness must subtract (PERF.md "measurement
+    methodology").  One implementation so the subtraction stays comparable
+    across bench.py and the tools/ harnesses.
+    """
+    import jax.numpy as jnp
+
+    triv = jax.jit(lambda x: x + 1.0)
+    y = triv(jnp.zeros((8,)))
+    _ = float(y[0])  # warm compile + first transfer
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = triv(y)
+        _ = float(y[0])
+    return (time.perf_counter() - t0) / iters
+
+
 class StepTimer:
     """Wall-clock per-step timing with percentile summary."""
 

@@ -129,14 +129,9 @@ def main() -> int:
         return float(jnp.ravel(x)[0])
 
     # Dispatch round trip (matters on tunneled backends).
-    triv = jax.jit(lambda x: x + 1.0)
-    y = triv(jnp.zeros((8,)))
-    readback(y)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        y = triv(y)
-        readback(y)
-    rt = (time.perf_counter() - t0) / 5
+    from crowdmod_tpu.utils.profiling import measure_round_trip
+
+    rt = measure_round_trip()
 
     rows = []
     for n in _mesh_sizes(len(devices)):

@@ -42,14 +42,9 @@ _RT = None
 def round_trip():
     global _RT
     if _RT is None:
-        triv = jax.jit(lambda x: x + 1.0)
-        y = triv(jnp.zeros((8,)))
-        _ = float(y[0])
-        t0 = time.perf_counter()
-        for _ in range(5):
-            y = triv(y)
-            _ = float(y[0])
-        _RT = (time.perf_counter() - t0) / 5
+        from crowdmod_tpu.utils.profiling import measure_round_trip
+
+        _RT = measure_round_trip()
         print(f"round-trip baseline: {_RT*1e3:.1f} ms", flush=True)
     return _RT
 

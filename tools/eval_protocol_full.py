@@ -195,9 +195,12 @@ def main(argv=None) -> int:
                 continue
             with open(path) as fcsv:
                 rows = list(csv.reader(fcsv))
+            # Keep finite cells only: empty strings, NaN (any case), and
+            # +/-inf (degenerate-range PSNR, see build_corpus) would poison
+            # the mean with one bad cell.
             vals = [
-                float(v) for row in rows[1:] for v in row[1:]
-                if v not in ("", "nan")
+                f for row in rows[1:] for v in row[1:] if v
+                for f in (float(v),) if np.isfinite(f)
             ]
             if vals:
                 means[metric_name] = round(float(np.mean(vals)), 4)

@@ -81,6 +81,9 @@ def main(argv=None) -> int:
     p.add_argument("--workdir", default="/tmp/soak_http")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
+    if args.duration <= args.ramp_s:
+        p.error(f"--duration ({args.duration}s) must exceed --ramp-s "
+                f"({args.ramp_s}s): no steady-state window to measure")
 
     from crowdmod_tpu.cli.serve import ServingApp, make_server
     from crowdmod_tpu.config import load_config
