@@ -33,6 +33,17 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
         )
     )
     os.makedirs(cache_dir, exist_ok=True)
+    # jax initializes its persistent-cache object at most once per process
+    # (jax._src.compilation_cache._get_cache); if anything compiled before
+    # this call (warmup, sitecustomize, an earlier cache dir), a plain
+    # config update is silently ignored.  Reset so the next compile
+    # re-initializes at the requested directory.
+    try:
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+    except Exception:  # noqa: BLE001 - private API; best-effort on new jax
+        logging.warning("could not reset jax compilation cache state")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Cache every program we actually wait on (default thresholds skip
     # sub-second compiles, which covers most of the warmup set).

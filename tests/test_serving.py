@@ -376,6 +376,8 @@ def test_compilation_cache_persists(tmp_path):
 
     from crowdmod_tpu.utils.compile_cache import enable_compilation_cache
 
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     d = enable_compilation_cache(str(tmp_path / "xla"))
     try:
         # Lower the persistence threshold so a CPU-fast test compile lands.
@@ -390,8 +392,12 @@ def test_compilation_cache_persists(tmp_path):
         f(jnp.ones((96, 96))).block_until_ready()
         assert glob.glob(d + "/*"), "no cache entries written"
     finally:
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_compilation_cache_dir", None)
+        # Point the suite back at the conftest cache (enable_… resets the
+        # process-global cache object so the redirect actually takes).
+        enable_compilation_cache(prev_dir) if prev_dir else jax.config.update(
+            "jax_compilation_cache_dir", None)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prev_min)
 
 
 def test_parse_model_buckets():
