@@ -159,9 +159,8 @@ def test_distilled_sample_shapes_history_and_determinism():
 # sampler at the same step budget.
 # ---------------------------------------------------------------------------
 
-@pytest.fixture(scope="module")
-def walker_teacher():
-    """Tiny UNet trained with the ordinary DDPM loss on walkers."""
+def _train_walker_teacher(steps: int):
+    """Tiny UNet trained ``steps`` steps with the ordinary DDPM loss."""
     t_total = 64
     sched = linear_schedule(t_total, scale=0.5)
     model = UNet3D(
@@ -183,13 +182,28 @@ def walker_teacher():
     state = TrainState.create(params, adam_with_plateau(2e-3, (0.9, 0.999)))
     step = make_train_step(loss_fn, donate=False)
     key = jax.random.PRNGKey(42)
-    for _ in range(150):
+    for _ in range(steps):
         key, sub = jax.random.split(key)
         state, _ = step(state, (past, future), sub)
     return model, state.params, sched, past, future
 
 
+@pytest.fixture(scope="module")
+def walker_teacher():
+    """Well-trained teacher for the statistical quality study (nightly)."""
+    return _train_walker_teacher(150)
+
+
+@pytest.fixture(scope="module")
+def walker_teacher_smoke():
+    """Cheap teacher for mechanics-only tests: the driver/checkpoint path
+    doesn't care about sample quality, only that phases run, tags save,
+    and reloads dispatch — 10 steps keeps the oracle tier fast."""
+    return _train_walker_teacher(10)
+
+
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_progressive_distill_beats_fewstep_teacher(walker_teacher):
     """Distill 16 -> 4 steps; the 4-step student must reconstruct the
     walkers better than the teacher forced through the same 4-step grid
@@ -246,8 +260,8 @@ def test_progressive_distill_beats_fewstep_teacher(walker_teacher):
 
 
 @pytest.mark.slow
-def test_progressive_distill_driver_and_distilled_sampler(walker_teacher,
-                                                          tmp_path):
+def test_progressive_distill_driver_and_distilled_sampler(
+        walker_teacher_smoke, tmp_path):
     """The Trainer-level driver: restore a teacher into a Trainer, distill,
     save the D-tag checkpoint, reload it, and sample via SAMPLER=Distilled."""
     import os
@@ -258,7 +272,7 @@ def test_progressive_distill_driver_and_distilled_sampler(walker_teacher,
     from crowdmod_tpu.train.distiller import distilled_tag, progressive_distill
     from crowdmod_tpu.train.trainer import Trainer
 
-    model, teacher_params, sched, past, future = walker_teacher
+    model, teacher_params, sched, past, future = walker_teacher_smoke
 
     cfg = load_config("ATC.yml").updated({
         "DATA_FS": {"SAVE_DIR": str(tmp_path / "ckpts"),

@@ -11,6 +11,12 @@ import sys
 
 import pytest
 
+# Example scripts train real (tiny) models end-to-end in subprocesses —
+# minutes each on this host.  API drift they guard against is nightly-scale
+# risk, not per-commit; the oracle tier (-m "slow and not nightly") covers
+# the same surfaces through the in-process CLI/trainer tests.
+pytestmark = pytest.mark.nightly
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = os.path.join(REPO, "examples")
 

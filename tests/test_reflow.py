@@ -58,9 +58,8 @@ def test_reflow_loss_zero_for_straight_field():
     assert float(loss) < 1e-10
 
 
-@pytest.fixture(scope="module")
-def walker_fm_teacher():
-    """Tiny FM-UNet trained with the ordinary FM loss on walkers."""
+def _train_walker_fm_teacher(steps: int):
+    """Tiny FM-UNet trained ``steps`` steps with the ordinary FM loss."""
     model = UNet3D(
         out_channels=C, base_channels=8, base_channels_multiples=(1, 2),
         apply_attention=(False, False), dropout_rate=0.0,
@@ -80,13 +79,27 @@ def walker_fm_teacher():
     state = TrainState.create(params, adam_with_plateau(2e-3, (0.9, 0.999)))
     step = make_train_step(loss_fn, donate=False)
     key = jax.random.PRNGKey(42)
-    for _ in range(150):
+    for _ in range(steps):
         key, sub = jax.random.split(key)
         state, _ = step(state, (past, future), sub)
     return model, state.params, past, future
 
 
+@pytest.fixture(scope="module")
+def walker_fm_teacher():
+    """Well-trained teacher for the statistical quality study (nightly)."""
+    return _train_walker_fm_teacher(150)
+
+
+@pytest.fixture(scope="module")
+def walker_fm_teacher_smoke():
+    """Cheap teacher for mechanics-only tests (driver/checkpoint path):
+    10 steps keeps the oracle tier fast; quality claims live nightly."""
+    return _train_walker_fm_teacher(10)
+
+
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_reflow_straightens_the_transport_map(walker_fm_teacher):
     """The defining ReFlow property, testable at any teacher quality: after
     rectification, FEW Euler steps reproduce the teacher's MANY-step
@@ -148,7 +161,7 @@ def test_reflow_straightens_the_transport_map(walker_fm_teacher):
 
 
 @pytest.mark.slow
-def test_reflow_driver_and_checkpoint(walker_fm_teacher, tmp_path):
+def test_reflow_driver_and_checkpoint(walker_fm_teacher_smoke, tmp_path):
     """Trainer-level driver: restore an FM teacher, reflow, save the RF
     tag, reload into a fresh Trainer, and sample with few Euler steps."""
     import os
@@ -159,7 +172,7 @@ def test_reflow_driver_and_checkpoint(walker_fm_teacher, tmp_path):
     from crowdmod_tpu.train.distiller import reflow, reflow_tag
     from crowdmod_tpu.train.trainer import Trainer
 
-    model, teacher_params, past, future = walker_fm_teacher
+    model, teacher_params, past, future = walker_fm_teacher_smoke
 
     cfg = load_config("ATC.yml").updated({
         "DATA_FS": {"SAVE_DIR": str(tmp_path / "ckpts"),

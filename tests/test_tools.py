@@ -167,6 +167,7 @@ def test_api_docs_in_sync(tmp_path):
         assert sym in committed, f"{sym} missing from API reference"
 
 
+@pytest.mark.nightly
 def test_soak_http_driver(workspace, tmp_path):
     """The HTTP soak driver end-to-end at toy scale: train → serve → hammer.
 

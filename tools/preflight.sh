@@ -5,8 +5,9 @@
 # fast tier (VERDICT round 2, Weak #1).  This script is the gate: it fails
 # unless the doctor self-check and the fast test tier are both green.
 #
-#   ./tools/preflight.sh          # doctor + fast tier (~3 min)
-#   ./tools/preflight.sh --slow   # also the slow tier (CI budget)
+#   ./tools/preflight.sh            # doctor + fast tier (~3 min)
+#   ./tools/preflight.sh --slow     # also the oracle tier (CI budget)
+#   ./tools/preflight.sh --nightly  # everything incl. quality studies/soaks
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -17,7 +18,10 @@ echo "== fast test tier =="
 python -m pytest tests/ -m "not slow" -q
 
 if [[ "${1:-}" == "--slow" ]]; then
-  echo "== slow test tier =="
+  echo "== oracle test tier =="
+  python -m pytest tests/ -m "slow and not nightly" -q
+elif [[ "${1:-}" == "--nightly" ]]; then
+  echo "== oracle + nightly test tiers =="
   python -m pytest tests/ -m slow -q
 fi
 echo "preflight: all green"
