@@ -104,8 +104,10 @@ def test_factory_builds_reference_archs(atc_cfg):
     future, t, past = _data(12, 36)
     for arch in ["DDPM-UNet", "DDPM-DiT", "FM-UNet", "FM-DiT"]:
         model = build_backbone(atc_cfg, arch, 3)
-        params = model.init(jax.random.PRNGKey(0), future, t, past)
-        out = model.apply(params, future, t, past)
+        # jit: these are FULL reference-size models; eager per-op dispatch
+        # of a 7-12M-param forward dominates this module's wall-clock.
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), future, t, past)
+        out = jax.jit(model.apply)(params, future, t, past)
         assert out.shape == future.shape, arch
 
 
@@ -127,13 +129,15 @@ def test_remat_numerical_equivalence():
         ),
     ]:
         base, rm = make(False), make(True)
-        params = base.init(jax.random.PRNGKey(1), future, t, past)
+        params = jax.jit(base.init)(jax.random.PRNGKey(1), future, t, past)
         # Identical param structure: remat params load into the plain model.
-        params_rm = rm.init(jax.random.PRNGKey(1), future, t, past)
+        params_rm = jax.jit(rm.init)(jax.random.PRNGKey(1), future, t, past)
         assert jax.tree.structure(params) == jax.tree.structure(params_rm)
 
-        out = base.apply(params, future, t, past)
-        out_rm = rm.apply(params, future, t, past)
+        # jit everything: eager per-op dispatch of a whole UNet/DiT forward
+        # (+ grad) is the slowest thing this module does on CPU.
+        out = jax.jit(base.apply)(params, future, t, past)
+        out_rm = jax.jit(rm.apply)(params, future, t, past)
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(out_rm), rtol=1e-3, atol=1e-4
         )
@@ -143,8 +147,8 @@ def test_remat_numerical_equivalence():
                 model.apply(p, future, t, past) ** 2
             )
 
-        g = jax.grad(loss(base))(params)
-        g_rm = jax.grad(loss(rm))(params)
+        g = jax.jit(jax.grad(loss(base)))(params)
+        g_rm = jax.jit(jax.grad(loss(rm)))(params)
         for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_rm)):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
