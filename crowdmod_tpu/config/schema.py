@@ -105,13 +105,22 @@ class DDPMSchema:
     TIMESTEPS: int = req(positive=True)
     SCALE: float = opt(1.0, positive=True)
     SAMPLER: str = opt(
-        "DDPM", choices=("DDPM", "DDIM", "DPM-Solver", "Distilled")
+        "DDPM", choices=("DDPM", "DDIM", "DDIM-eta", "DPM-Solver", "Distilled")
     )
     GUIDANCE: str = opt(
         "None", choices=("None", "Sparsity", "mass_preservation")
     )
     DDIM_DIVIDER: int = opt(2, positive=True)
     SIGMA: float = 0.0
+    # Model output parameterization: the reference trains an eps-head
+    # (ddpm.py:120); "v" (Salimans & Ho 2022) keeps the target bounded over
+    # the whole noise range — the quality choice for few-step sampling.
+    PRED_TYPE: str = opt("eps", choices=("eps", "v", "x0"))
+    # "DDIM-eta" sampler knobs: eta=1 -> respaced-ancestral (stochastic,
+    # quality), eta=0 -> deterministic probability-flow DDIM; ETA_STEPS
+    # model evaluations on a respaced 0..T-1 grid (endpoints included).
+    ETA: float = 1.0
+    ETA_STEPS: int = opt(50, positive=True)
     LAMBDA_GUIDANCE: float = 0.0
     # Classifier-free guidance: training-time condition dropout probability
     # and sampling-time guidance scale (1.0 = plain conditional, off).

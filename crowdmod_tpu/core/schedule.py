@@ -107,3 +107,27 @@ def ddim_tau_schedule(timesteps: int, divider: int) -> jnp.ndarray:
     """The reference's DDIM tau subset: ``arange(0, T-1, divider)``
     (ddpm.py:326)."""
     return jnp.arange(0, timesteps - 1, divider, dtype=jnp.int32)
+
+
+def respaced_taus(timesteps: int, steps: int) -> jnp.ndarray:
+    """Ascending ``(steps,)`` int32 tau grid 0 ... T-1 for respaced sampling.
+
+    Unlike the reference's ``arange(0, T-1, divider)`` (which never visits
+    the terminal noise level), this grid always includes both endpoints so
+    the chain starts at the x_T the model was trained to denoise.  Used by
+    the textbook eta-DDIM / respaced-ancestral sampler.
+    """
+    if not 1 <= steps <= timesteps:
+        raise ValueError(
+            f"steps must be in [1, timesteps={timesteps}]; got {steps}"
+        )
+    if steps == 1:
+        return jnp.array([timesteps - 1], dtype=jnp.int32)
+    # Host-side (numpy) grid construction: the grid is trace-static — it is
+    # the scan's xs — and np.unique's data-dependent length is fine here.
+    import numpy as np
+
+    taus = np.unique(
+        np.linspace(0, timesteps - 1, steps).round().astype(np.int32)
+    )
+    return jnp.asarray(taus)

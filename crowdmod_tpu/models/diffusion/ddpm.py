@@ -34,6 +34,70 @@ DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray | None], jnp.ndarray
 
 GUIDANCE_MODES = ("None", "Sparsity", "mass_preservation")
 
+PRED_TYPES = ("eps", "v", "x0")
+
+
+def _ab_coeffs(sched: DiffusionSchedule, t: jnp.ndarray, ndim: int):
+    """``(sqrt_abar_t, sqrt_1m_abar_t)`` broadcast over ``ndim`` dims."""
+    sab = sched.sqrt_alpha_bar[t]
+    somab = sched.sqrt_one_minus_alpha_bar[t]
+    shape = sab.shape + (1,) * (ndim - sab.ndim)
+    return sab.reshape(shape), somab.reshape(shape)
+
+
+def prediction_target(
+    sched: DiffusionSchedule,
+    pred_type: str,
+    x0: jnp.ndarray,
+    eps: jnp.ndarray,
+    t: jnp.ndarray,
+) -> jnp.ndarray:
+    """Training target for the chosen model parameterization.
+
+    ``eps`` is the reference's choice (ddpm.py:120); ``v`` is the
+    angular-velocity target v = sqrt(abar)*eps - sqrt(1-abar)*x0 of
+    Salimans & Ho (progressive distillation, ICLR 2022) — it keeps the
+    target bounded across the whole noise range so few-step/deterministic
+    samplers do not coherently integrate the eps-head's low-SNR bias
+    (the round-3 protocol-scale failure mode, VALIDATION.md); ``x0``
+    predicts the clean data directly.
+    """
+    if pred_type == "eps":
+        return eps
+    sab, somab = _ab_coeffs(sched, t, x0.ndim)
+    if pred_type == "v":
+        return sab * eps - somab * x0
+    if pred_type == "x0":
+        return x0
+    raise ValueError(f"unknown PRED_TYPE {pred_type!r}; expected {PRED_TYPES}")
+
+
+def as_eps_fn(
+    fn: DenoiseFn, sched: DiffusionSchedule, pred_type: str
+) -> DenoiseFn:
+    """Adapt a ``pred_type``-parameterized model to the eps-space DenoiseFn
+    contract every sampler consumes.
+
+    Identities (x_t = sab*x0 + somab*eps):  eps = sab*v + somab*x_t  and
+    eps = (x_t - sab*x0_hat) / somab.  The conversion is affine in the model
+    output, so CFG combination commutes with it.
+    """
+    if pred_type == "eps":
+        return fn
+    if pred_type not in PRED_TYPES:
+        raise ValueError(
+            f"unknown PRED_TYPE {pred_type!r}; expected {PRED_TYPES}"
+        )
+
+    def eps_fn(x, t, past):
+        out = fn(x, t, past)
+        sab, somab = _ab_coeffs(sched, t, x.ndim)
+        if pred_type == "v":
+            return sab * out + somab * x
+        return (x - sab * out) / somab  # x0
+
+    return eps_fn
+
 
 def ddpm_loss(
     denoise_fn: DenoiseFn,
@@ -41,17 +105,20 @@ def ddpm_loss(
     future: jnp.ndarray,
     past: jnp.ndarray | None,
     key: jax.Array,
+    *,
+    pred_type: str = "eps",
 ) -> jnp.ndarray:
-    """Simple-DDPM MSE loss: uniform t, q-sample the future, predict eps.
-
-    Parity with the reference train step (ddpm.py:111-121).
+    """Simple-DDPM MSE loss: uniform t, q-sample the future, predict the
+    ``pred_type`` target (eps by default — parity with the reference train
+    step, ddpm.py:111-121; "v"/"x0" are beyond-reference quality options).
     """
     kt, kq = jax.random.split(key)
     b = future.shape[0]
     t = jax.random.randint(kt, (b,), 0, sched.timesteps)
     noisy, eps = q_sample(sched, future, t, kq)
-    eps_pred = denoise_fn(noisy, t, past)
-    return jnp.mean(jnp.square(eps_pred - eps))
+    pred = denoise_fn(noisy, t, past)
+    target = prediction_target(sched, pred_type, future, eps, t)
+    return jnp.mean(jnp.square(pred - target))
 
 
 def _apply_guidance(
@@ -206,4 +273,78 @@ def ddim_sample(
         # len(taus)+1 entries: initial noise first, as in the reference's
         # xnoisy_over_time (ddpm.py:249).
         return x_final, jnp.concatenate([x0[None], traj], axis=0)
+    return x_final
+
+
+def ddim_eta_sample(
+    denoise_fn: DenoiseFn,
+    sched: DiffusionSchedule,
+    past: jnp.ndarray | None,
+    key: jax.Array,
+    sample_shape: tuple[int, ...],
+    taus: jnp.ndarray,
+    *,
+    eta: float = 1.0,
+    guidance: str = "None",
+    lambda_guidance: float = 0.0,
+    history: bool = False,
+) -> jnp.ndarray:
+    """Textbook DDIM (Song et al. Eq. 12) with *current-level* coefficients
+    and the full per-transition variance:
+
+        sigma_i = eta * sqrt((1-abar_prev)/(1-abar_t)) * sqrt(1-abar_t/abar_prev)
+
+    Differences from :func:`ddim_sample` (which reproduces the reference's
+    recurrence, ddpm.py:238-282, including its one-tau coefficient lag and
+    constant sigma): coefficients are evaluated at the tau the state actually
+    sits at, the variance follows the respaced posterior, and the final
+    transition lands on the clean x0 prediction.  ``eta == 1`` makes each
+    update the exact ancestral posterior of the respaced
+    {taus}-subchain — the stochastic few-step sampler whose per-step noise
+    injection breaks the coherent integration of eps-model bias that
+    collapses deterministic samplers at protocol scale (VALIDATION.md round
+    3); ``eta == 0`` is the deterministic probability-flow DDIM.
+
+    ``taus`` is an ascending int32 subset of [0, T-1]; sampling starts from
+    N(0, I) at ``taus[-1]`` and the last step maps ``taus[0] -> x0``.
+    """
+    if guidance not in ("None", None, "Sparsity"):
+        raise ValueError(
+            f"ddim_eta_sample supports Sparsity/None guidance only; got "
+            f"{guidance!r}"
+        )
+    k_init, k_loop = jax.random.split(key)
+    x0_noise = jax.random.normal(k_init, sample_shape, dtype=jnp.float32)
+    b = sample_shape[0]
+
+    ts = taus[::-1]  # descending: taus[-1] ... taus[0]
+    # Previous (lower-noise) tau per transition; -1 denotes clean data.
+    t_prev = jnp.concatenate([ts[1:], jnp.array([-1], dtype=ts.dtype)])
+
+    def body(x, pair):
+        t, tp = pair
+        step_key = jax.random.fold_in(k_loop, t)
+        t_vec = jnp.full((b,), t, dtype=jnp.int32)
+        eps = denoise_fn(x, t_vec, past)
+
+        ab_t = sched.alpha_bar[t]
+        ab_p = jnp.where(tp >= 0, sched.alpha_bar[jnp.maximum(tp, 0)], 1.0)
+        sigma = eta * jnp.sqrt(
+            jnp.clip((1.0 - ab_p) / (1.0 - ab_t), 0.0)
+        ) * jnp.sqrt(jnp.clip(1.0 - ab_t / ab_p, 0.0))
+
+        pred_x0 = (x - jnp.sqrt(1.0 - ab_t) * eps) / jnp.sqrt(ab_t)
+        direction = jnp.sqrt(jnp.clip(1.0 - ab_p - sigma**2, 0.0)) * eps
+        z = jax.random.normal(step_key, x.shape, dtype=x.dtype)
+        z = jnp.where(tp >= 0, z, jnp.zeros_like(z))
+        x = jnp.sqrt(ab_p) * pred_x0 + direction + sigma * z
+
+        if guidance == "Sparsity":
+            x = x - lambda_guidance * jnp.sqrt(sched.beta[t]) * \
+                sparsity_gradient(x)
+        return x, (x if history else None)
+
+    x_final, traj = jax.lax.scan(body, x0_noise, (ts, t_prev))
+    if history:
+        return x_final, jnp.concatenate([x0_noise[None], traj], axis=0)
     return x_final

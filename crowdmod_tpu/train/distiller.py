@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from crowdmod_tpu.models.diffusion.ddpm import as_eps_fn
 from crowdmod_tpu.models.diffusion.distill import distill_loss
 from crowdmod_tpu.train.state import TrainState, make_train_step
 
@@ -84,6 +85,7 @@ def progressive_distill(
 
     sched = trainer.sched
     model = trainer.model
+    pred_type = trainer.cfg.MODEL.DDPM.get("PRED_TYPE", "eps")
     batch_size = trainer.cfg.DATASET.BATCH_SIZE
     if len(train_ds) < batch_size:
         raise ValueError(
@@ -102,8 +104,17 @@ def progressive_distill(
 
         def loss_fn(params, batch, key, *, _n=n, _teacher=teacher):
             past_b, future_b = batch
-            student_fn = lambda x, t, c: model.apply(params, x, t, c)
-            teacher_fn = lambda x, t, c: model.apply(_teacher, x, t, c)
+            # as_eps_fn adapts v-/x0-parameterized backbones to the
+            # eps-space contract distill_loss works in (no-op for eps);
+            # gradients flow through the affine conversion unchanged.
+            student_fn = as_eps_fn(
+                lambda x, t, c: model.apply(params, x, t, c),
+                sched, pred_type,
+            )
+            teacher_fn = as_eps_fn(
+                lambda x, t, c: model.apply(_teacher, x, t, c),
+                sched, pred_type,
+            )
             return distill_loss(
                 student_fn, teacher_fn, sched, _n, future_b, past_b, key
             )

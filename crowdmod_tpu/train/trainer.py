@@ -155,6 +155,7 @@ class Trainer:
         if self.family == "DDPM":
             sched = self.sched
             cfg_drop = float(cfg.MODEL.DDPM.get("CFG_DROP_PROB", 0.0))
+            pred_type = cfg.MODEL.DDPM.get("PRED_TYPE", "eps")
 
             def loss(params, batch, key):
                 past, future = batch
@@ -171,7 +172,10 @@ class Trainer:
                 denoise = lambda x, t, c: model.apply(
                     params, x, t, c, **apply_kwargs(dropout)
                 )
-                return ddpm_loss(denoise, sched, future, past, step_key)
+                return ddpm_loss(
+                    denoise, sched, future, past, step_key,
+                    pred_type=pred_type,
+                )
 
         elif self.family == "FM":
             w_type = cfg.MODEL.FM.W_TYPE
@@ -579,7 +583,17 @@ class Trainer:
             self.cfg.MODEL.FM if self.family == "FM" else None
         )
         scale = float(node.get("CFG_SCALE", 1.0)) if node is not None else 1.0
-        return cfg_denoise_fn(fn, scale)
+        fn = cfg_denoise_fn(fn, scale)
+        if self.family == "DDPM":
+            # Adapt v-/x0-parameterized models to the eps-space contract all
+            # samplers consume (no-op for the default eps head).  Conversion
+            # is affine in the model output, so it commutes with CFG.
+            from crowdmod_tpu.models.diffusion import as_eps_fn
+
+            fn = as_eps_fn(
+                fn, self.sched, node.get("PRED_TYPE", "eps")
+            )
+        return fn
 
     def sample(self, past: jnp.ndarray, key, *, history: bool = False):
         """Generate future blocks conditioned on ``past`` with the family's
@@ -638,6 +652,22 @@ class Trainer:
                 return ddim_sample(
                     self._denoise_fn(params), self.sched, past, key, shape, taus,
                     sigma=node.SIGMA, guidance=node.GUIDANCE,
+                    lambda_guidance=node.get("LAMBDA_GUIDANCE", 0.0),
+                    history=history,
+                )
+            if node.SAMPLER == "DDIM-eta":
+                # Textbook eta-DDIM on a respaced grid (beyond the
+                # reference's lagged recurrence): ETA=1 is the respaced
+                # ancestral sampler — the protocol-quality fast path.
+                from crowdmod_tpu.core.schedule import respaced_taus
+                from crowdmod_tpu.models.diffusion import ddim_eta_sample
+
+                taus = respaced_taus(
+                    node.TIMESTEPS, node.get("ETA_STEPS", 50)
+                )
+                return ddim_eta_sample(
+                    self._denoise_fn(params), self.sched, past, key, shape,
+                    taus, eta=node.get("ETA", 1.0), guidance=node.GUIDANCE,
                     lambda_guidance=node.get("LAMBDA_GUIDANCE", 0.0),
                     history=history,
                 )

@@ -82,8 +82,15 @@ def main(argv=None) -> int:
     p.add_argument("--samplers", nargs="+",
                    default=["DDPM", "DDIM", "DPM-Solver"],
                    help="MODEL.DDPM.SAMPLER values to run the protocol for; "
-                        "add 'Distilled' to distill an 8-step student first.")
+                        "add 'Distilled' to distill an 8-step student first. "
+                        "'DDIM-eta' accepts an inline spec "
+                        "'DDIM-eta:ETA:STEPS' (e.g. DDIM-eta:1.0:50).")
     p.add_argument("--train-epochs", type=int, default=30)
+    p.add_argument("--pred-type", default="eps", choices=["eps", "v", "x0"],
+                   help="MODEL.DDPM.PRED_TYPE for training (v = Salimans-Ho "
+                        "parameterization, the few-step quality choice)")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="TRAIN.EMA_DECAY; sampling uses EMA weights when set")
     p.add_argument("--files", type=int, default=6)
     p.add_argument("--per-file", type=int, default=64)
     p.add_argument("--chunk", type=int, default=20)
@@ -122,7 +129,13 @@ def main(argv=None) -> int:
             "VAL_FILE_COUNT": 1,
             "TEST_FILE_COUNT": 1,
         },
-        "MODEL": {"DDPM": {"DIT": {"TRAIN": {"EPOCHS": args.train_epochs}}}},
+        "MODEL": {"DDPM": {
+            "PRED_TYPE": args.pred_type,
+            "DIT": {"TRAIN": {
+                "EPOCHS": args.train_epochs,
+                "EMA_DECAY": args.ema_decay,
+            }},
+        }},
         "METRICS": {"CHUNK_REPD_PAST_SEQ": args.chunk},
     }
     cfg = load_config("ATC.yml").updated(over)
@@ -162,11 +175,24 @@ def main(argv=None) -> int:
               flush=True)
 
     for sampler in args.samplers:
-        scfg = cfg.updated({"MODEL": {"DDPM": {"SAMPLER": sampler}}})
-        spath = os.path.join(args.out, f"cfg_{sampler}.yml")
+        # 'DDIM-eta:ETA:STEPS' inline spec -> SAMPLER + ETA/ETA_STEPS keys.
+        sampler_over = {"SAMPLER": sampler}
+        if sampler.startswith("DDIM-eta:"):
+            _, eta_s, steps_s = sampler.split(":")
+            sampler_over = {
+                "SAMPLER": "DDIM-eta",
+                "ETA": float(eta_s),
+                "ETA_STEPS": int(steps_s),
+            }
+        scfg = cfg.updated({"MODEL": {"DDPM": sampler_over}})
+        spath = os.path.join(
+            args.out, f"cfg_{sampler.replace(':', '_')}.yml"
+        )
         with open(spath, "w") as f:
             yaml.safe_dump(scfg.to_dict(), f)
-        out_dir = os.path.join(args.out, "metrics", sampler)
+        out_dir = os.path.join(
+            args.out, "metrics", sampler.replace(":", "_")
+        )
         argv_m = [
             "--config-yml-file", spath, "--configList-yml-file", list_path,
             "--arch", "DDPM-DiT", "--seed", str(args.seed),
