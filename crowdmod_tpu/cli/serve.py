@@ -294,10 +294,12 @@ def run(argv=None) -> int:
     p.add_argument("--data-parallel", action="store_true",
                    help="shard request batches over all local devices")
     p.add_argument("--compile-cache", type=str, nargs="?", const="",
-                   default=None, metavar="DIR",
+                   default="", metavar="DIR",
                    help="persist compiled buckets to DIR (default "
                         "~/.cache/crowdmod_tpu/xla) so restarts warm up "
-                        "in seconds instead of recompiling")
+                        "in seconds instead of recompiling; on by default")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache")
     p.add_argument(
         "--artifact", type=str, nargs="+", default=None, metavar="PATH",
         help="serve exported StableHLO sampler artifact(s) (crowdmod "
@@ -308,7 +310,7 @@ def run(argv=None) -> int:
     args = p.parse_args(argv)
     setup_logging("logs/serve.log")
 
-    if args.compile_cache is not None:
+    if not args.no_compile_cache:
         from crowdmod_tpu.utils.compile_cache import enable_compilation_cache
 
         enable_compilation_cache(args.compile_cache or None)

@@ -17,10 +17,15 @@ import logging
 import os
 
 
-def enable_compilation_cache(cache_dir: str | None = None) -> str:
+def enable_compilation_cache(
+    cache_dir: str | None = None, *, min_compile_time_secs: float | None = None
+) -> str:
     """Turn on jax's persistent compilation cache, creating ``cache_dir``.
 
     Defaults to ``$CROWDMOD_COMPILE_CACHE`` or ``~/.cache/crowdmod_tpu/xla``.
+    ``min_compile_time_secs`` (or ``$CROWDMOD_COMPILE_CACHE_MIN_SECS``)
+    controls the cheapest compile worth persisting — 0 caches everything,
+    which CI uses to exercise the cache with sub-second CPU compiles.
     Safe to call more than once; returns the directory in use.
     """
     import jax
@@ -47,7 +52,25 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Cache every program we actually wait on (default thresholds skip
     # sub-second compiles, which covers most of the warmup set).
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if min_compile_time_secs is None:
+        min_compile_time_secs = float(
+            os.environ.get("CROWDMOD_COMPILE_CACHE_MIN_SECS", "0.5")
+        )
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", min_compile_time_secs
+    )
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     logging.info("persistent XLA compilation cache at %s", cache_dir)
     return cache_dir
+
+
+def entry_count(cache_dir: str) -> int:
+    """Number of persisted executables under ``cache_dir`` (0 if absent).
+
+    Used by ``crowdmod doctor`` to report cold/warm cache state: a compile
+    that adds entries was a miss; one that adds none on a populated cache
+    was served from disk.
+    """
+    if not cache_dir or not os.path.isdir(cache_dir):
+        return 0
+    return sum(len(files) for _, _, files in os.walk(cache_dir))

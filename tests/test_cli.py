@@ -11,6 +11,8 @@ import pytest
 from crowdmod_tpu.cli import generate_metrics, generate_samples, sweep, train
 from crowdmod_tpu.cli import main as cli_main
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 # The shared `workspace` fixture (tiny configs + pickles) lives in conftest.py.
 
 
@@ -71,12 +73,41 @@ def test_cli_dispatch_help(capsys):
 def test_cli_doctor(capsys):
     """Doctor: every check passes in the test environment (the virtual-mesh
     subprocess check is exercised by the dedicated flag-less CI run; here we
-    skip it to keep the test fast)."""
-    rc = cli_main(["doctor", "--skip-mesh"])
+    skip it to keep the test fast).  --no-compile-cache keeps doctor's
+    default-on persistent cache from re-pointing this pytest process's
+    cache dir away from conftest's .jax_test_cache."""
+    rc = cli_main(["doctor", "--skip-mesh", "--no-compile-cache"])
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "0 failures" in out
     assert "compile smoke" in out and "checkpoint io" in out
+
+
+def test_cli_doctor_compile_cache_warm(tmp_path):
+    """VERDICT r3 #8: the second doctor run on a machine must be served from
+    the persistent XLA cache.  Two fresh interpreters share a temp cache dir;
+    the first persists entries (cold), the second adds none (warm)."""
+    import subprocess
+    import sys
+
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "CROWDMOD_COMPILE_CACHE": str(tmp_path / "xla"),
+        # Persist even sub-second CPU compiles so the tiny doctor smoke
+        # exercises the cache machinery.
+        "CROWDMOD_COMPILE_CACHE_MIN_SECS": "0",
+    }
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)  # conftest's test-run cache
+    cmd = [sys.executable, "-m", "crowdmod_tpu.cli", "doctor", "--skip-mesh"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=600, cwd=REPO_ROOT)
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    assert "cache cold" in r1.stdout, r1.stdout
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=600, cwd=REPO_ROOT)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "cache warm" in r2.stdout, r2.stdout
 
 
 def test_sweep_space_and_overrides():
