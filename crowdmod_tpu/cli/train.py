@@ -44,6 +44,14 @@ def build_parser():
              "kernels channel-sharded over N chips); overrides "
              "TPU.MESH.MODEL.",
     )
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="Join the multi-process runtime before touching devices "
+             "(jax.distributed.initialize: TPU pods autodetect; CPU "
+             "harnesses export CROWDMOD_COORDINATOR/NUM_PROCESSES/"
+             "PROCESS_ID).  Every host runs this same command; "
+             "checkpoints commit once via process 0.",
+    )
     return p
 
 
@@ -59,7 +67,35 @@ def run(argv=None) -> int:
     from crowdmod_tpu.config.validate import require_valid
 
     require_valid(cfg, args.arch)
-    setup_logging(os.path.join(cfg.DATA_FS.OUTPUT_DIR, "logs", "train.log"))
+
+    is_main = True
+    log_name = "train.log"
+    if args.multihost:
+        # Must run before any other jax device use so the global runtime
+        # forms; every host loads the identical corpus (same files, same
+        # seed) and device_put scatters only the local shards, so the data
+        # path needs no per-host branching — DCN carries just the gradient
+        # all-reduce.  Scale-out input (per-host file shards) is the
+        # FileWindowStream + host_shard + global_batch path (docs/SCALING.md).
+        import jax
+
+        from crowdmod_tpu.parallel import multiprocess
+
+        multiprocess.initialize()
+        is_main = multiprocess.is_main()
+        log_name = f"train.p{jax.process_index()}.log"
+        if not args.data_parallel:
+            raise SystemExit("--multihost requires --data-parallel")
+    setup_logging(os.path.join(cfg.DATA_FS.OUTPUT_DIR, "logs", log_name))
+    if args.multihost:
+        import jax
+
+        logging.info(
+            "multihost: process %d/%d, %d local / %d global %s devices",
+            jax.process_index(), jax.process_count(),
+            len(jax.local_devices()), len(jax.devices()),
+            jax.default_backend(),
+        )
 
     mesh = None
     if args.data_parallel:
@@ -72,7 +108,16 @@ def run(argv=None) -> int:
             "--fsdp/--model-parallel require --data-parallel"
         )
 
-    trainer = Trainer(cfg, args.arch, mesh=mesh, run_dir=args.run_dir,
+    run_dir = args.run_dir
+    if args.multihost and not is_main:
+        # Single-writer rule: only process 0 owns the canonical run dir
+        # (tracker JSONL, loss plot); secondaries log beside it.
+        import jax
+
+        base = run_dir or os.path.join(cfg.DATA_FS.OUTPUT_DIR, "runs",
+                                       args.arch)
+        run_dir = os.path.join(base, f".proc{jax.process_index()}")
+    trainer = Trainer(cfg, args.arch, mesh=mesh, run_dir=run_dir,
                       param_sharding="fsdp" if args.fsdp else "tp",
                       seed=args.seed)
     if args.resume and trainer.resume_from_abort():
@@ -91,11 +136,19 @@ def run(argv=None) -> int:
             tracker=tracker,
         )
 
-    plot_losses(
-        history["train_loss"], history["val_loss"],
-        subtitle=f"{args.arch} on {cfg.DATASET.NAME}",
-        save_path=os.path.join(trainer.run_dir, "losses.png"),
-    )
+    if is_main:
+        plot_losses(
+            history["train_loss"], history["val_loss"],
+            subtitle=f"{args.arch} on {cfg.DATASET.NAME}",
+            save_path=os.path.join(trainer.run_dir, "losses.png"),
+        )
+    if args.multihost:
+        # Rejoin before exit: secondaries finish fit() first while process 0
+        # still writes run artifacts — without this, the fast exiters trip
+        # jax's shutdown barrier and the whole job reports failure.
+        from crowdmod_tpu.parallel import multiprocess
+
+        multiprocess.barrier("train-exit")
     if history.get("aborted"):
         logging.error(
             "training ABORTED (NaN watchdog); checkpoints in %s are from "

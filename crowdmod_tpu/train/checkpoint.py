@@ -113,8 +113,38 @@ def save_checkpoint(
     while orbax commits in a background thread — the train loop keeps the
     TPU busy during I/O.  Call :func:`wait_for_saves` (or save once more
     synchronously) before reading the checkpoint back.
+
+    Multi-process (pod) semantics: every process calls this with the same
+    arguments; FSDP/TP-sharded leaves are all-gathered to full host arrays,
+    process 0 alone commits the files (single-writer), and everyone leaves
+    through a barrier so no host can read a half-committed checkpoint.
+    Async staging is a single-process optimization — on pods the commit is
+    synchronous.
     """
     directory = Path(directory).absolute()
+    multiprocess = jax.process_count() > 1
+    if multiprocess:
+        # All-gather BEFORE the is_main gate: every process participates in
+        # the collective, then only process 0 touches the filesystem.
+        from crowdmod_tpu.parallel.multiprocess import (
+            barrier, is_main, process_allgather,
+        )
+
+        host_state = process_allgather(state)
+        import shutil
+
+        if is_main() and directory.exists():
+            shutil.rmtree(directory)
+        barrier("ckpt-clear")
+        # EVERY process enters orbax's save — the checkpointer coordinates
+        # internally (its own cross-host barriers; host-replicated numpy
+        # leaves are written by the primary host only).  Gating it to
+        # process 0 would deadlock the orbax sync.
+        _checkpointer().save(directory, host_state)
+        if is_main() and metadata is not None:
+            _atomic_json(directory / "metadata.json", metadata)
+        barrier("ckpt-save")
+        return str(directory)
     # orbax creates the tree itself, but on the async path the metadata
     # sidecar below is written from THIS thread, possibly before the
     # background commit has made the parent — create it deterministically.
@@ -169,8 +199,17 @@ def load_checkpoint(directory: str | os.PathLike, template: Any | None = None):
     if template is not None:
         import orbax.checkpoint as ocp
 
+        if jax.process_count() > 1:
+            # Cross-host-sharded template leaves can't be device_get locally;
+            # gather them (every process restores the full host copy and
+            # re-shards at device_put time).
+            from crowdmod_tpu.parallel.multiprocess import process_allgather
+
+            host_template = process_allgather(template)
+        else:
+            host_template = jax.device_get(template)
         restored = _checkpointer().restore(
-            directory, item=jax.tree.map(np.asarray, jax.device_get(template))
+            directory, item=jax.tree.map(np.asarray, host_template)
         )
         # Preserve the template's tree classes (orbax may return dicts).
         flat = jax.tree.leaves(restored)
@@ -227,10 +266,13 @@ def gc_checkpoints(
 
     Only checkpoints matching this (cfg, arch) run's naming scheme are
     touched; other runs sharing the directory are invisible to the sweep.
-    Returns the removed paths.
+    Returns the removed paths.  Multi-process: single-writer — only
+    process 0 sweeps (concurrent rmtree on a shared filesystem races).
     """
     import shutil
 
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return []
     save = Path(save_dir)
     if not save.is_dir():
         return []

@@ -71,6 +71,8 @@ _SLOW_MODULES = {
     # CPU trainings and the 8-device virtual-mesh compile storms.
     "test_backbones", "test_parallel", "test_convrnn", "test_dpm_solver",
     "test_prefetch", "test_examples", "test_torch_import",
+    # N-OS-process jax.distributed harness: ~2 min for the 2-proc case.
+    "test_multiprocess",
 }
 
 

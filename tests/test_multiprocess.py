@@ -1,0 +1,60 @@
+"""Multi-PROCESS (multi-host) execution tests (VERDICT round 3, item #3).
+
+tests/test_parallel.py proves single-process SPMD math; these tests prove
+the process topology a real pod runs: N OS processes joined by
+``jax.distributed.initialize`` (CPU backend, Gloo collectives), per-process
+file-sharded input assembled into globally-sharded batches, the jitted
+DDPM-DiT train step over the global mesh, cross-process loss agreement, and
+process-0 checkpoint commit + all-process restore — all via
+``tools/dryrun_multihost.py``, which is also the pod-launch runbook's dryrun
+(SCALING.md).
+
+The reference has no distributed code at all (SURVEY.md §2.9).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOL = os.path.join(REPO_ROOT, "tools", "dryrun_multihost.py")
+
+
+def _run(tmp_path, *extra):
+    out = str(tmp_path / "dmh")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS",)}  # workers set their own device count
+    proc = subprocess.run(
+        [sys.executable, TOOL, "--out", out, *extra],
+        capture_output=True, text=True, timeout=570, env=env, cwd=REPO_ROOT,
+    )
+    report_path = os.path.join(out, "report.json")
+    report = json.load(open(report_path)) if os.path.exists(report_path) else {}
+    return proc, report
+
+
+def test_two_process_topology(tmp_path):
+    """2 processes x 2 local devices: global mesh forms, per-process data
+    feeds a global batch, losses agree bit-wise across processes AND match
+    a single-process run of the identical schedule; checkpoint commits once
+    and restores everywhere."""
+    proc, report = _run(tmp_path, "--nprocs", "2")
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert report["ok"] is True
+    assert report["same_across_processes"] is True
+    assert report["matches_single_process_control"] is True
+    assert len(report["losses"]) == report["steps"]
+
+
+@pytest.mark.nightly
+def test_four_process_fsdp_topology(tmp_path):
+    """4 processes with FSDP-sharded params: the ZeRO-3 layout's all-gathers
+    cross process boundaries (DCN path on a real pod) and checkpoint
+    all-gather reconstructs full params before the process-0 commit."""
+    proc, report = _run(tmp_path, "--nprocs", "4", "--fsdp")
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert report["ok"] is True
+    assert report["matches_single_process_control"] is True
