@@ -167,6 +167,10 @@ def main() -> int:
             assert len(out.sharding.device_set) == n, "output not DP-sharded"
             assert bool(jnp.isfinite(out).all())
             coll = _collective_counts(compiled)
+            # Timed before the epoch step donates the params away.
+            t0 = time.perf_counter()
+            readback(compiled(params, past_b, jax.random.PRNGKey(5)))
+            sampler_wall = time.perf_counter() - t0
         else:
             reps = []
             for i in range(3):
@@ -202,9 +206,19 @@ def main() -> int:
         readback(losses)
         if virtual:
             assert bool(jnp.isfinite(losses).all()), "epoch losses non-finite"
-            rows.append({"mesh": n, "ok": True, "collectives": coll})
+            # Raw wall seconds for context only — CPU-mesh timing is NOT a
+            # speed claim (virtual devices share one host's cores).
+            t0 = time.perf_counter()
+            state, losses = epoch_step(state, batches, jax.random.PRNGKey(4))
+            readback(losses)
+            epoch_wall = time.perf_counter() - t0
+            rows.append({"mesh": n, "ok": True, "collectives": coll,
+                         "sampler_wall_s_virtual": round(sampler_wall, 3),
+                         "epoch_wall_s_virtual": round(epoch_wall, 3)})
             print(f"mesh={n}: sampler+epoch execute, DP-sharded, "
-                  f"collectives={coll}", flush=True)
+                  f"collectives={coll}  (virtual walls: sampler "
+                  f"{sampler_wall:.2f}s epoch {epoch_wall:.2f}s — not a "
+                  f"speed claim)", flush=True)
         else:
             t0 = time.perf_counter()
             state, losses = epoch_step(state, batches, jax.random.PRNGKey(4))

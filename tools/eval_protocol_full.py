@@ -91,6 +91,10 @@ def main(argv=None) -> int:
                         "parameterization, the few-step quality choice)")
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="TRAIN.EMA_DECAY; sampling uses EMA weights when set")
+    p.add_argument("--timesteps", type=int, default=None,
+                   help="override MODEL.DDPM.TIMESTEPS (the nightly gate "
+                        "runs a reduced-T protocol so ancestral sampling "
+                        "fits a CPU budget)")
     p.add_argument("--files", type=int, default=6)
     p.add_argument("--per-file", type=int, default=64)
     p.add_argument("--chunk", type=int, default=20)
@@ -131,6 +135,7 @@ def main(argv=None) -> int:
         },
         "MODEL": {"DDPM": {
             "PRED_TYPE": args.pred_type,
+            **({"TIMESTEPS": args.timesteps} if args.timesteps else {}),
             "DIT": {"TRAIN": {
                 "EPOCHS": args.train_epochs,
                 "EMA_DECAY": args.ema_decay,

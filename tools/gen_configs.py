@@ -423,6 +423,26 @@ def main():
     medium["METRICS"]["MOTION_FEATURE"]["GAMMA"] = 2.0
     write(OUT / "ATC_medium.yml", medium)
 
+    # Quality-pinned serving config (VALIDATION.md round 4): the
+    # protocol-best fast sampler — stochastic eta-DDIM on 25 respaced
+    # steps (38.9 dB PSNR at the 1280-sample protocol, +4.5 dB over
+    # ancestral T=1000 at 8.3x the throughput) — with the v-parameterized
+    # training target and EMA sampling weights that produced it.
+    serving = dataset_cfg("ATC", DATASETS["ATC"])
+    serving["MODEL"]["DDPM"].update(
+        SAMPLER="DDIM-eta", ETA=1.0, ETA_STEPS=25, PRED_TYPE="v",
+    )
+    serving["MODEL"]["DDPM"]["DIT"]["TRAIN"]["EMA_DECAY"] = 0.999
+    serving["MODEL"]["DDPM"]["UNET"]["TRAIN"]["EMA_DECAY"] = 0.999
+    write(OUT / "serving" / "ATC.yml", serving)
+
+    # FM classifier-free-guidance ship config: the round-3 CFG study's
+    # recommendation (CFG_SCALE 3.0, DROP 0.1) as a config artifact instead
+    # of VALIDATION.md prose.
+    fm_cfg = dataset_cfg("ATC", DATASETS["ATC"])
+    fm_cfg["MODEL"]["FM"].update(CFG_SCALE=3.0, CFG_DROP_PROB=0.1)
+    write(OUT / "ATC_fm_cfg.yml", fm_cfg)
+
     # Example models list for the HTML comparison viewer
     # (reference config/models_list.yml:1-10 role; order = display order).
     write(OUT / "models_list.yml", {
