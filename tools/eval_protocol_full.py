@@ -98,6 +98,10 @@ def main(argv=None) -> int:
     p.add_argument("--files", type=int, default=6)
     p.add_argument("--per-file", type=int, default=64)
     p.add_argument("--chunk", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="override DATASET.BATCH_SIZE (nightly gate shrinks "
+                        "the protocol batch so the CPU tier fits its budget; "
+                        "the reference protocol is 64)")
     p.add_argument("--batches-to-use", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
@@ -132,6 +136,7 @@ def main(argv=None) -> int:
             "TRAIN_FILE_COUNT": max(args.files - 2, 1),
             "VAL_FILE_COUNT": 1,
             "TEST_FILE_COUNT": 1,
+            **({"BATCH_SIZE": args.batch_size} if args.batch_size else {}),
         },
         "MODEL": {"DDPM": {
             "PRED_TYPE": args.pred_type,

@@ -78,6 +78,11 @@ def main(argv=None) -> int:
     p.add_argument("--config-yml-file", default="ATC.yml",
                    help="base config (the CPU smoke test passes 4test/ATC.yml)")
     p.add_argument("--ddim-divider", type=int, default=10)
+    p.add_argument("--sampler", default=None,
+                   help="override the sampler, e.g. 'DDIM-eta:1.0:25' (the "
+                        "quality-pinned serving default, configs/serving/) "
+                        "or any MODEL.DDPM.SAMPLER name; default keeps the "
+                        "round-2 soak configuration (DDIM + --ddim-divider)")
     p.add_argument("--workdir", default="/tmp/soak_http")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
@@ -91,11 +96,19 @@ def main(argv=None) -> int:
 
     os.makedirs(args.workdir, exist_ok=True)
     arch = args.arch
+    sampler_over = {"SAMPLER": "DDIM", "DDIM_DIVIDER": args.ddim_divider}
+    if args.sampler:
+        if args.sampler.startswith("DDIM-eta:"):
+            _, eta_s, steps_s = args.sampler.split(":")
+            sampler_over = {"SAMPLER": "DDIM-eta", "ETA": float(eta_s),
+                            "ETA_STEPS": int(steps_s)}
+        else:
+            sampler_over = {"SAMPLER": args.sampler}
     cfg = load_config(args.config_yml_file).updated({
         "DATA_FS": {"SAVE_DIR": os.path.join(args.workdir, "ckpts"),
                     "OUTPUT_DIR": os.path.join(args.workdir, "out")},
         "MODEL": {"DDPM": {
-            "SAMPLER": "DDIM", "DDIM_DIVIDER": args.ddim_divider,
+            **sampler_over,
             "DIT": {"TRAIN": {"EPOCHS": args.train_epochs}},
             "UNET": {"TRAIN": {"EPOCHS": args.train_epochs}},
         }},
