@@ -38,6 +38,9 @@ def build_parser():
 
 def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from crowdmod_tpu.utils.compile_cache import enable_default_cache
+
+    enable_default_cache()
     import jax.numpy as jnp
 
     from crowdmod_tpu.compat import import_torch_checkpoint, verify_tree_matches

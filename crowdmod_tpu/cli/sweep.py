@@ -261,6 +261,9 @@ def run_wandb_agent(args, base_cfg, sweep_dir: str, results_path: str) -> int:
 
 def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from crowdmod_tpu.utils.compile_cache import enable_default_cache
+
+    enable_default_cache()
     from crowdmod_tpu.config import load_config
 
     base_cfg = load_config(args.config_yml_file, args.configList_yml_file)

@@ -57,6 +57,9 @@ def build_parser():
 
 def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from crowdmod_tpu.utils.compile_cache import enable_default_cache
+
+    enable_default_cache()
     from crowdmod_tpu.config import load_config
     from crowdmod_tpu.data.ingest import get_training_dataset
     from crowdmod_tpu.train.trainer import Trainer

@@ -230,6 +230,9 @@ def run(argv=None) -> int:
                    help="Artifact path; a .json metadata sidecar is "
                         "written next to it.")
     args = p.parse_args(argv)
+    from crowdmod_tpu.utils.compile_cache import enable_default_cache
+
+    enable_default_cache()
 
     cfg = load_config(args.config_yml_file, args.configList_yml_file)
     require_valid(cfg, args.arch)

@@ -64,6 +64,35 @@ def enable_compilation_cache(
     return cache_dir
 
 
+def enable_default_cache() -> str | None:
+    """Best-effort default-on cache for CLI entry points (round-4 item:
+    doctor/serve got it in round 3; train/sample/metrics cold starts pay
+    the same multi-minute first compile on a tunneled backend).
+
+    Skips silently when:
+      * ``CROWDMOD_NO_COMPILE_CACHE`` is set (explicit opt-out), or
+      * a compilation-cache dir is already configured in-process or via
+        ``JAX_COMPILATION_CACHE_DIR`` (the test conftest, an embedding
+        application, or a doctor/serve ``--compile-cache`` flag own the
+        setting — do not reset their cache out from under them), or
+      * anything about enabling fails (the cache is an optimization, never
+        a reason a training run dies).
+    """
+    if os.environ.get("CROWDMOD_NO_COMPILE_CACHE"):
+        return None
+    try:
+        import jax
+
+        existing = jax.config.jax_compilation_cache_dir
+        if existing:
+            return existing
+        return enable_compilation_cache()
+    except Exception:  # noqa: BLE001 - never fail the CLI for cache setup
+        logging.warning("persistent compilation cache unavailable",
+                        exc_info=True)
+        return None
+
+
 def entry_count(cache_dir: str) -> int:
     """Number of persisted executables under ``cache_dir`` (0 if absent).
 

@@ -60,9 +60,14 @@ def read_epochs(events_path):
 
 def launch(cmd, log_path):
     logf = open(log_path, "w")
+    env = dict(os.environ)
+    # Append (not replace): the ambient PYTHONPATH may carry the TPU
+    # backend's site hook.
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (env.get("PYTHONPATH"), REPO) if p
+    )
     return subprocess.Popen(
-        cmd, stdout=logf, stderr=subprocess.STDOUT,
-        env={**os.environ, "PYTHONPATH": REPO},
+        cmd, stdout=logf, stderr=subprocess.STDOUT, env=env,
     ), logf
 
 
@@ -214,10 +219,16 @@ def main(argv=None) -> int:
     # (b) The plateau-LR schedule actually scheduled: the resumed run's
     # final LR must be strictly below the configured base LR (>=1 plateau
     # reduction across the drill), and the resumed first LR must equal the
-    # pre-kill LR (plateau state survived the crash).
+    # pre-kill LR (plateau state survived the crash).  Only enforceable at
+    # the reference budget — a short smoke run never plateaus (PATIENCE 10).
     base_lr = float(cfg.MODEL.DDPM.UNET.TRAIN.SOLVER.LR)
     lrs = [e["lr"] for e in phase1 + phase2 if "lr" in e]
-    checks["plateau_lr_scheduled"] = bool(lrs and lrs[-1] < base_lr)
+    if total_epochs >= 100:
+        checks["plateau_lr_scheduled"] = bool(lrs and lrs[-1] < base_lr)
+    else:
+        report["plateau_lr_note"] = (
+            "check skipped below 100 epochs (no plateau expected)"
+        )
     checks["plateau_state_resumed"] = bool(
         phase2[0].get("lr") is not None
         and abs(phase2[0]["lr"] - phase1[-1]["lr"]) <= 1e-12
