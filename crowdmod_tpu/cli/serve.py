@@ -311,9 +311,16 @@ def run(argv=None) -> int:
     setup_logging("logs/serve.log")
 
     if not args.no_compile_cache:
-        from crowdmod_tpu.utils.compile_cache import enable_compilation_cache
+        from crowdmod_tpu.utils.compile_cache import (
+            enable_compilation_cache, enable_default_cache,
+        )
 
-        enable_compilation_cache(args.compile_cache or None)
+        if args.compile_cache:
+            enable_compilation_cache(args.compile_cache)
+        else:
+            # Respect an already-configured cache (JAX_COMPILATION_CACHE_DIR
+            # or an embedding app) instead of re-pointing it at ~/.cache.
+            enable_default_cache()
 
     from crowdmod_tpu.serving import load_predictor
 

@@ -74,6 +74,12 @@ def run(argv=None) -> int:
     is_main = True
     log_name = "train.log"
     if args.multihost:
+        # Flag sanity BEFORE forming the runtime: initialize() blocks on
+        # coordinator discovery, so a late check would hang a dev box (or
+        # strand a whole pod past the train-exit barrier) before the
+        # friendly error ever printed.
+        if not args.data_parallel:
+            raise SystemExit("--multihost requires --data-parallel")
         # Must run before any other jax device use so the global runtime
         # forms; every host loads the identical corpus (same files, same
         # seed) and device_put scatters only the local shards, so the data
@@ -87,8 +93,6 @@ def run(argv=None) -> int:
         multiprocess.initialize()
         is_main = multiprocess.is_main()
         log_name = f"train.p{jax.process_index()}.log"
-        if not args.data_parallel:
-            raise SystemExit("--multihost requires --data-parallel")
     setup_logging(os.path.join(cfg.DATA_FS.OUTPUT_DIR, "logs", log_name))
     if args.multihost:
         import jax

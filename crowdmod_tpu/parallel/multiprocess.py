@@ -57,8 +57,17 @@ def initialize(
     if coordinator_address is None:
         coordinator_address = os.environ.get("CROWDMOD_COORDINATOR")
         if coordinator_address:
-            num_processes = int(os.environ["CROWDMOD_NUM_PROCESSES"])
-            process_id = int(os.environ["CROWDMOD_PROCESS_ID"])
+            try:
+                num_processes = int(os.environ["CROWDMOD_NUM_PROCESSES"])
+                process_id = int(os.environ["CROWDMOD_PROCESS_ID"])
+            except KeyError as missing:
+                raise RuntimeError(
+                    "CROWDMOD_COORDINATOR is set but "
+                    f"{missing.args[0]} is not — a manual multi-process "
+                    "launch needs all three of CROWDMOD_COORDINATOR, "
+                    "CROWDMOD_NUM_PROCESSES, CROWDMOD_PROCESS_ID "
+                    "(docs/SCALING.md pod runbook)"
+                ) from None
     kwargs: dict[str, Any] = {}
     if coordinator_address is not None:
         kwargs = dict(

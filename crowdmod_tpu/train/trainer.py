@@ -422,12 +422,28 @@ class Trainer:
         except BaseException:
             # Crash/interrupt resilience the reference lacks (SURVEY §5.3):
             # persist the in-flight state so long runs resume instead of
-            # restarting.
-            try:
-                self.save(save_dir, "abort")
-                logging.error("training aborted; emergency checkpoint saved")
-            except Exception:
-                logging.exception("emergency checkpoint failed")
+            # restarting.  Multi-process runs must NOT attempt this: the
+            # save path is collective (process_allgather + barriers,
+            # checkpoint.py), and an exception that hits only one host
+            # (SIGINT, local OOM/disk error) would leave the others inside
+            # the train step's own collectives — mismatched collectives
+            # hang the pod instead of saving.  Pod crash recovery is the
+            # periodic best/late checkpoints, which every process reaches
+            # together.
+            if jax.process_count() > 1:
+                logging.error(
+                    "training aborted on process %d; emergency checkpoint "
+                    "skipped in multi-process runs (resume from the last "
+                    "committed best/late checkpoint)", jax.process_index(),
+                )
+            else:
+                try:
+                    self.save(save_dir, "abort")
+                    logging.error(
+                        "training aborted; emergency checkpoint saved"
+                    )
+                except Exception:
+                    logging.exception("emergency checkpoint failed")
             raise
         finally:
             # A failed async commit must not mask the real training error

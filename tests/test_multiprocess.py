@@ -58,3 +58,32 @@ def test_four_process_fsdp_topology(tmp_path):
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert report["ok"] is True
     assert report["matches_single_process_control"] is True
+
+
+@pytest.mark.nightly
+def test_two_process_cli_train_multihost(tmp_path):
+    """The pod runbook's EXACT command, end to end: 2 OS processes each
+    running ``crowdmod train --multihost --data-parallel`` with the manual
+    CROWDMOD_COORDINATOR/NUM_PROCESSES/PROCESS_ID launch recipe.  Covers
+    the CLI-layer glue the library harness cannot: env-var coordinator
+    pickup, the secondary ``.procN`` run-dir rewrite, process-0-only loss
+    plot, and the train-exit barrier."""
+    proc, report = _run(tmp_path, "--nprocs", "2", "--cli")
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert report["ok"] is True
+    smoke = report["cli_smoke"]
+    assert smoke["ok"] is True
+    assert smoke["no_partial_commits"] is True
+    assert smoke["main_owns_run"] is True
+
+
+def test_initialize_partial_env_is_a_labeled_error(monkeypatch):
+    """A manual launch that sets CROWDMOD_COORDINATOR but forgets the other
+    two env vars must fail with the runbook hint, not a bare KeyError."""
+    from crowdmod_tpu.parallel import multiprocess
+
+    monkeypatch.setenv("CROWDMOD_COORDINATOR", "127.0.0.1:9999")
+    monkeypatch.delenv("CROWDMOD_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("CROWDMOD_PROCESS_ID", raising=False)
+    with pytest.raises(RuntimeError, match="CROWDMOD_NUM_PROCESSES"):
+        multiprocess.initialize()

@@ -198,3 +198,41 @@ def test_soak_http_driver(workspace, tmp_path):
     assert report["latency_ms"]["p95"] >= report["latency_ms"]["p50"]
     # Concurrent keyless batch-2 requests must have coalesced at least once.
     assert report["dispatches"] is not None
+
+
+@pytest.mark.nightly
+def test_training_drill_kill_resume(tmp_path):
+    """The kill-mid-run drill end-to-end at toy scale, process level.
+
+    Unit tests cover ``Trainer.resume_from_abort`` in-process
+    (test_trainer.py); this drives the path a real operator hits: a
+    ``crowdmod train`` OS process SIGINTed mid-run must persist the
+    emergency checkpoint from its exception handler, and a second process
+    with ``--resume`` must warm-continue to completion with best-checkpoint
+    integrity and retention GC (the reference can only warm-start weights,
+    train.py:78).  The reference-budget run is VALIDATION.md round 4
+    (tools/training_drill.py --kill-epoch 60, 200 epochs, v5e).
+    """
+    import json
+
+    sys.path.insert(0, REPO)
+    try:
+        from tools.training_drill import main as drill_main
+    finally:
+        sys.path.pop(0)
+    out = tmp_path / "drill"
+    rc = drill_main([
+        "--out", str(out), "--epochs", "20", "--kill-epoch", "4",
+        "--files", "2", "--per-file", "8", "--batch-size", "8",
+        "--timeout", "900",
+    ])
+    assert rc == 0, "drill postconditions failed (see report.json)"
+    report = json.loads((out / "report.json").read_text())
+    assert report["phase1"]["abort_checkpoint"] is True
+    assert report["checks"]["continuity"] is True
+    assert report["checks"]["best_ckpt_is_global_best"] is True
+    assert report["checks"]["abort_gc_on_completion"] is True
+    assert report["checks"]["retention_policy"] is True
+    # Both phases together cover the full budget.
+    assert (report["phase1"]["epochs_logged"]
+            + report["phase2"]["epochs_logged"]) == 20

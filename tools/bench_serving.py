@@ -30,14 +30,6 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
-def sampler_overrides(spec: str) -> dict:
-    if spec.startswith("DDIM-eta:"):
-        _, eta_s, steps_s = spec.split(":")
-        return {"SAMPLER": "DDIM-eta", "ETA": float(eta_s),
-                "ETA_STEPS": int(steps_s)}
-    return {"SAMPLER": spec}
-
-
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--samplers", nargs="+",
@@ -64,6 +56,7 @@ def main(argv=None) -> int:
 
     from crowdmod_tpu.config import load_config
     from crowdmod_tpu.serving import Predictor
+    from crowdmod_tpu.utils.sampler_spec import sampler_overrides
     from tools.soak_http import ensure_checkpoint
 
     os.makedirs(args.workdir, exist_ok=True)

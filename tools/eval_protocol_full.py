@@ -185,15 +185,9 @@ def main(argv=None) -> int:
               flush=True)
 
     for sampler in args.samplers:
-        # 'DDIM-eta:ETA:STEPS' inline spec -> SAMPLER + ETA/ETA_STEPS keys.
-        sampler_over = {"SAMPLER": sampler}
-        if sampler.startswith("DDIM-eta:"):
-            _, eta_s, steps_s = sampler.split(":")
-            sampler_over = {
-                "SAMPLER": "DDIM-eta",
-                "ETA": float(eta_s),
-                "ETA_STEPS": int(steps_s),
-            }
+        from crowdmod_tpu.utils.sampler_spec import sampler_overrides
+
+        sampler_over = sampler_overrides(sampler)
         scfg = cfg.updated({"MODEL": {"DDPM": sampler_over}})
         spath = os.path.join(
             args.out, f"cfg_{sampler.replace(':', '_')}.yml"

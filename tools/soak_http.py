@@ -96,14 +96,12 @@ def main(argv=None) -> int:
 
     os.makedirs(args.workdir, exist_ok=True)
     arch = args.arch
-    sampler_over = {"SAMPLER": "DDIM", "DDIM_DIVIDER": args.ddim_divider}
     if args.sampler:
-        if args.sampler.startswith("DDIM-eta:"):
-            _, eta_s, steps_s = args.sampler.split(":")
-            sampler_over = {"SAMPLER": "DDIM-eta", "ETA": float(eta_s),
-                            "ETA_STEPS": int(steps_s)}
-        else:
-            sampler_over = {"SAMPLER": args.sampler}
+        from crowdmod_tpu.utils.sampler_spec import sampler_overrides
+
+        sampler_over = sampler_overrides(args.sampler)
+    else:
+        sampler_over = {"SAMPLER": "DDIM", "DDIM_DIVIDER": args.ddim_divider}
     cfg = load_config(args.config_yml_file).updated({
         "DATA_FS": {"SAVE_DIR": os.path.join(args.workdir, "ckpts"),
                     "OUTPUT_DIR": os.path.join(args.workdir, "out")},

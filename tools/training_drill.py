@@ -80,6 +80,9 @@ def main(argv=None) -> int:
     p.add_argument("--kill-epoch", type=int, default=60)
     p.add_argument("--files", type=int, default=6)
     p.add_argument("--per-file", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="override DATASET.BATCH_SIZE (the nightly toy-scale "
+                        "drill shrinks it; the reference budget keeps 64)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--timeout", type=int, default=5400,
                    help="per-phase wall budget in seconds")
@@ -108,6 +111,7 @@ def main(argv=None) -> int:
             "TRAIN_FILE_COUNT": max(args.files - 2, 1),
             "VAL_FILE_COUNT": 1,
             "TEST_FILE_COUNT": 1,
+            **({"BATCH_SIZE": args.batch_size} if args.batch_size else {}),
         },
     }
     if args.epochs:
