@@ -16,4 +16,18 @@ Design stance (see SURVEY.md §7):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Deploy hosts may install a site hook that registers an out-of-tree
+    # PJRT backend and sets ``jax.config.jax_platforms`` at interpreter
+    # start, which silently overrides the JAX_PLATFORMS environment variable
+    # a caller (or the test harness, for its CLI subprocesses) set.
+    # Re-assert the env var so platform selection behaves as documented:
+    # ``JAX_PLATFORMS=cpu crowdmod ...`` must mean CPU.
+    import jax as _jax
+
+    if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 from crowdmod_tpu.core import layout, schedule  # noqa: F401

@@ -3,6 +3,9 @@
 Each subcommand is runnable as ``python -m crowdmod_tpu.cli.<name>`` or via
 the ``crowdmod`` console script:
 
+  * ``etl``               — raw sensor CSVs → aggregated CSVs → macroprop
+    pickles + DATA_LIST (the reference's offline aggregateData /
+    computeMacroProps / count_samples stages in one chain)
   * ``train``             — train any of the five architectures
   * ``generate_samples``  — sample a trained model + render plots/GIFs
   * ``generate_metrics``  — repeated-past metric suite → CSV/manifest/boxplots
@@ -59,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
     """Dispatch ``crowdmod <subcommand> ...``."""
     argv = list(sys.argv[1:] if argv is None else argv)
     commands = {
+        "etl": "crowdmod_tpu.cli.etl",
         "train": "crowdmod_tpu.cli.train",
         "generate-samples": "crowdmod_tpu.cli.generate_samples",
         "generate-metrics": "crowdmod_tpu.cli.generate_metrics",

@@ -31,6 +31,16 @@ def build_parser():
     p.add_argument("--data-parallel", action="store_true",
                    help="Batch-parallel sampling over all visible devices "
                         "(the repeated-past protocol shards cleanly).")
+    p.add_argument("--sample-weights", choices=("ema", "raw"), default="ema",
+                   help="Sample with EMA weights (default) or the raw "
+                        "training weights (EMA ablation / regression "
+                        "demonstration).")
+    p.add_argument("--multihost", action="store_true",
+                   help="Join the multi-process runtime: every host runs "
+                        "this same command, the protocol batch shards over "
+                        "the global data axis, and process 0 commits the "
+                        "CSV/manifest (secondaries write to a .procN "
+                        "scratch dir for cross-host agreement checks).")
     return p
 
 
@@ -48,9 +58,31 @@ def run(argv=None) -> int:
     from crowdmod_tpu.config.validate import require_valid
 
     require_valid(cfg, args.arch)
+    log_name = "genMetrics.log"
+    if args.multihost:
+        # Same ordering rules as `crowdmod train --multihost`
+        # (cli/train.py:76-96): flag sanity before the blocking
+        # coordinator handshake, runtime up before any device use.
+        if not args.data_parallel:
+            raise SystemExit("--multihost requires --data-parallel")
+        import jax
+
+        from crowdmod_tpu.parallel import multiprocess
+
+        multiprocess.initialize()
+        log_name = f"genMetrics.p{jax.process_index()}.log"
     setup_logging(
-        os.path.join(cfg.DATA_FS.OUTPUT_DIR, "logs", "genMetrics.log")
+        os.path.join(cfg.DATA_FS.OUTPUT_DIR, "logs", log_name)
     )
+    if args.multihost:
+        import jax
+
+        logging.info(
+            "multihost: process %d/%d, %d local / %d global %s devices",
+            jax.process_index(), jax.process_count(),
+            len(jax.local_devices()), len(jax.devices()),
+            jax.default_backend(),
+        )
 
     chunk = args.chunk_repd_past_seq
     if chunk is None:
@@ -71,12 +103,24 @@ def run(argv=None) -> int:
         cfg.DATA_FS.SAVE_DIR, ckpt.checkpoint_name(cfg, args.arch, tag)
     )
     trainer.load(path)
-    logging.info("checkpoint restored from %s", path)
+    trainer.sample_weights = args.sample_weights
+    logging.info("checkpoint restored from %s (sampling with %s weights)",
+                 path, args.sample_weights)
 
     test_ds = get_test_dataset(cfg, trainer.mprops_count, seed=args.seed)
     out_dir = args.output_dir or os.path.join(
         cfg.DATA_FS.OUTPUT_DIR, "metrics", args.arch
     )
+    if args.multihost:
+        # Single-writer rule: process 0 commits the canonical CSV/manifest;
+        # secondaries compute the identical suite into a scratch dir (their
+        # artifacts double as a cross-host agreement check).
+        import jax
+
+        from crowdmod_tpu.parallel import multiprocess
+
+        if not multiprocess.is_main():
+            out_dir = os.path.join(out_dir, f".proc{jax.process_index()}")
     results = trainer.generate_metrics(
         test_ds,
         metric=args.metric,
@@ -92,6 +136,12 @@ def run(argv=None) -> int:
     }
     logging.info("metric means: %s", json.dumps(summary, indent=2))
     logging.info("metric artifacts written to %s", out_dir)
+    if args.multihost:
+        # Rejoin before exit (cli/train.py:152 rationale): fast exiters
+        # must not trip jax's shutdown barrier while process 0 writes.
+        from crowdmod_tpu.parallel import multiprocess
+
+        multiprocess.barrier("generate-metrics-exit")
     return 0
 
 

@@ -186,6 +186,10 @@ class MacropropsSchema:
     THETA: float = 0.0
     TIME_RES: float = opt(0.5, positive=True)
     LU: tuple[float, float] = (0.0, 0.0)
+    # Sliding-window re-stride for the offline sequence builder
+    # (reference computeMacroProps.py:60-61; set in ETHUCY_ddpm.yml:19-20).
+    OVERLAP: bool = False
+    WINDOWSIZE: int = opt(1, positive=True)
 
 
 @dataclass(frozen=True)

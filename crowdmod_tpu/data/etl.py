@@ -218,6 +218,50 @@ def compute_macroprop_sequences(
     return np.stack([stack[s : s + window] for s in starts]).astype(np.float32)
 
 
+def read_aggregated_csv(path: str) -> pd.DataFrame:
+    """Read an aggregated-trajectory CSV into the canonical column layout.
+
+    Accepts both conventions in the wild: the reference's own aggregation
+    output (datetime-string ``time``, leading unnamed index column —
+    aggregateData.py:38 ``to_csv`` default) and index-free epoch-seconds
+    CSVs (the configuration computeMacroProps.py:38-40 actually parses).
+    The reference's sequence builder reads the former *without*
+    ``index_col=0``, which silently shifts the positional vel_x/vel_y/
+    vel_norm accesses in data.py:85-89 by one column; like
+    ``getDataset4Test``, that defect is deliberately not reproduced here.
+    """
+    df = pd.read_csv(path)
+    df = df.drop(columns=[c for c in df.columns if c.startswith("Unnamed")])
+    if pd.api.types.is_numeric_dtype(df["time"]):
+        df["time"] = pd.to_datetime(df["time"], unit="s")
+    else:
+        df["time"] = pd.to_datetime(df["time"])
+    return df
+
+
+def macroprops_from_aggregated(
+    df: pd.DataFrame, cfg: FrozenConfig
+) -> np.ndarray:
+    """Aggregated trajectories → ``(N, T, H, W, 4)`` macroprop windows.
+
+    The per-file body of computeMacroPropsATC (computeMacroProps.py:36-63):
+    preprocess/rotate → LU filter → bin at TIME_RES → sliding windows, with
+    the window span taken from the *unfiltered* file's time extent
+    (computeMacroProps.py:44-46).
+    """
+    pre, rlu = preprocess_trajectories(df, cfg)
+    filt = filter_by_grid(pre, cfg, rlu)
+    return compute_macroprop_sequences(
+        filt, cfg, rlu, t_init=pre["time"].min(), t_final=pre["time"].max()
+    )
+
+
+def to_reference_pickle_layout(seqs: np.ndarray) -> np.ndarray:
+    """``(N, T, H, W, C)`` native → ``(N, C, H, W, T)`` reference pickle
+    layout (computeMacroProps.py:55-57 ``np.stack`` axis order)."""
+    return np.ascontiguousarray(seqs.transpose(0, 4, 2, 3, 1))
+
+
 # --------------------------------------------------------------------------
 # ATC aggregation
 # --------------------------------------------------------------------------

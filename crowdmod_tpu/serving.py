@@ -90,6 +90,12 @@ class Predictor:
         p, f, h, w = self._trainer._grid_shapes()
         self._shape = (p, f, h, w, self._trainer.mprops_count)
 
+    @property
+    def input_spec(self) -> tuple[int, int, int, int, int]:
+        """Per-request input geometry ``(past_len, future_len, H, W, C)`` —
+        a request's ``past`` is ``(N, past_len, H, W, C)``."""
+        return self._shape
+
     # ------------------------------------------------------------------
     def _bucket(self, n: int) -> int:
         for b in self.batch_buckets:

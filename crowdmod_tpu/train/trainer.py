@@ -92,6 +92,11 @@ class Trainer:
         # "fsdp" (also shard params/opt-state/EMA over "data", ZeRO-3).
         self.param_sharding = param_sharding
         self.seed = seed
+        # Which weights sampling uses: "ema" (EMA when enabled — reference
+        # model.eval() + smoothing semantics) or "raw" (the training
+        # weights).  "raw" exists for EMA ablations and as the nightly
+        # gate's deliberate-regression lever.
+        self.sample_weights = "ema"
         self.run_dir = run_dir or os.path.join(
             cfg.DATA_FS.OUTPUT_DIR, "runs", arch
         )
@@ -574,6 +579,8 @@ class Trainer:
         training weights.  Training/eval losses always use the raw weights
         (they drive the plateau scheduler)."""
         st = self.state
+        if self.sample_weights == "raw":
+            return st.params
         return st.ema_params if st.ema_params is not None else st.params
 
     def _denoise_fn(self, params=None):
@@ -833,7 +840,18 @@ class Trainer:
             past_s, future_s, _ = self.select_past(
                 past, future, samples_per_batch, ksel, chunk=chunk
             )
-            preds.append(self.sample(past_s, ksamp))
+            out = self.sample(past_s, ksamp)
+            if jax.process_count() > 1:
+                # Multi-process protocol: every host fed the identical
+                # selection, the mesh sampler sharded it over the global
+                # data axis, and the result is a non-fully-addressable
+                # global array — gather it back to host-local numpy so the
+                # metric suite (eager jnp) runs identically on every
+                # process (process 0 owns the file writes, cli layer).
+                from crowdmod_tpu.parallel import multiprocess
+
+                out = jnp.asarray(multiprocess.process_allgather(out))
+            preds.append(out)
             gts.append(future_s)
 
         pred = jnp.concatenate(preds)[..., :3]

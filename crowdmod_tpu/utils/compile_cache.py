@@ -85,6 +85,22 @@ def enable_default_cache() -> str | None:
 
         existing = jax.config.jax_compilation_cache_dir
         if existing:
+            # Respect the owner's directory, but still apply our persist
+            # thresholds unless the owner pinned their own via env — a bare
+            # JAX_COMPILATION_CACHE_DIR otherwise keeps jax's defaults and
+            # sub-second compiles silently never persist (doctor would then
+            # report a warm run as "cache on" with zero entries).
+            if not os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"):
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs",
+                    float(os.environ.get(
+                        "CROWDMOD_COMPILE_CACHE_MIN_SECS", "0.5"
+                    )),
+                )
+            if not os.environ.get("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"):
+                jax.config.update(
+                    "jax_persistent_cache_min_entry_size_bytes", 0
+                )
             return existing
         return enable_compilation_cache()
     except Exception:  # noqa: BLE001 - never fail the CLI for cache setup

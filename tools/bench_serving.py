@@ -79,7 +79,7 @@ def main(argv=None) -> int:
         t0 = time.time()
         predictor.warmup()
         warm_s = time.time() - t0
-        p_len, _, h, w, c = predictor._shape
+        p_len, _, h, w, c = predictor.input_spec
         per_bucket = {}
         for b in args.batches:
             past = np.zeros((b, p_len, h, w, c), np.float32)
@@ -101,6 +101,10 @@ def main(argv=None) -> int:
                   flush=True)
         results["samplers"][spec] = {"warmup_s": round(warm_s, 1),
                                      "buckets": per_bucket}
+        # Release this sampler's compiled executables before building the
+        # next Predictor — keeping every per-sampler program alive inflates
+        # host/device memory across a multi-sampler run.
+        del predictor
     print(json.dumps(results, indent=2))
     if args.out:
         with open(args.out, "w") as f:

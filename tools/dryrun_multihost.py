@@ -365,6 +365,114 @@ def cli_smoke(args) -> dict:
     return result
 
 
+def metrics_smoke(args) -> dict:
+    """N processes running the REAL ``crowdmod generate-metrics --multihost``
+    CLI against the checkpoint :func:`cli_smoke` just trained, plus a
+    single-process control at the same global mesh size (VERDICT round-4
+    item 5: the pod runbook must cover evaluation, not just training).
+
+    Asserts all processes exit 0, process 0 committed the canonical
+    CSV/manifest, the secondary's scratch artifacts agree bit-for-bit-ish
+    (cross-host agreement), and the multihost CSVs match the single-process
+    control within float tolerance.
+    """
+    import numpy as np
+
+    out = os.path.join(args.out, "cli")  # cli_smoke's corpus + checkpoint
+    cfg_path = os.path.join(out, "cfg.yml")
+    list_path = os.path.join(out, "list.yml")
+    common = [
+        "--config-yml-file", cfg_path, "--configList-yml-file", list_path,
+        "--arch", "DDPM-DiT", "--metric", "ALL",
+        "--chunk-repd-past-seq", "2", "--data-parallel",
+    ]
+    n_global = args.nprocs * args.local_devices
+
+    # Single-process control on the same global device count.
+    ctrl_dir = os.path.join(out, "metrics_ctrl")
+    r = subprocess.run(
+        [sys.executable, "-m", "crowdmod_tpu.cli", "generate-metrics",
+         *common, "--output-dir", ctrl_dir],
+        env=_cpu_env(n_global), capture_output=True, text=True,
+        timeout=args.timeout, cwd=REPO,
+    )
+    if r.returncode != 0:
+        print(f"--- metrics control (rc={r.returncode}) ---\n"
+              f"{(r.stdout + r.stderr)[-3000:]}")
+        return {"ok": False, "control_rc": r.returncode}
+
+    # N-process multihost run.
+    mh_dir = os.path.join(out, "metrics_mh")
+    port = _free_port()
+    procs = []
+    for i in range(args.nprocs):
+        env = _cpu_env(args.local_devices, {
+            "CROWDMOD_COORDINATOR": f"127.0.0.1:{port}",
+            "CROWDMOD_NUM_PROCESSES": str(args.nprocs),
+            "CROWDMOD_PROCESS_ID": str(i),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "crowdmod_tpu.cli", "generate-metrics",
+             *common, "--multihost", "--output-dir", mh_dir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=REPO,
+        ))
+    rcs = []
+    for i, proc in enumerate(procs):
+        try:
+            pout, _ = proc.communicate(timeout=args.timeout)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            pout, _ = proc.communicate()
+            pout += "\n[orchestrator] TIMEOUT"
+        rcs.append(proc.returncode)
+        if proc.returncode != 0:
+            print(f"--- metrics proc {i} (rc={proc.returncode}) ---\n"
+                  f"{pout[-3000:]}")
+
+    def _arrays(d):
+        manifest_path = os.path.join(d, "metrics_files.json")
+        if not os.path.exists(manifest_path):
+            return None
+        manifest = json.load(open(manifest_path))
+        out_arrays = {}
+        for name, fname in manifest.items():
+            path = os.path.join(d, os.path.basename(fname))
+            if os.path.exists(path):
+                out_arrays[name] = np.genfromtxt(
+                    path, delimiter=",", skip_header=1
+                )
+        return out_arrays
+
+    def _agree(a, b, atol):
+        if a is None or b is None or set(a) != set(b):
+            return False
+        return all(
+            a[k].shape == b[k].shape
+            and np.allclose(a[k], b[k], atol=atol, equal_nan=True)
+            for k in a
+        )
+
+    ctrl = _arrays(ctrl_dir)
+    main_arrays = _arrays(mh_dir)
+    # Secondaries write the identical suite into .procN scratch dirs.
+    procs_agree = all(
+        _agree(main_arrays, _arrays(os.path.join(mh_dir, f".proc{i}")),
+               atol=0.0)
+        for i in range(1, args.nprocs)
+    )
+    result = {
+        "rcs": rcs,
+        "main_manifest": main_arrays is not None,
+        "procs_agree": bool(procs_agree),
+        "matches_control": bool(_agree(main_arrays, ctrl, atol=1e-4)),
+        "metric_arrays": len(main_arrays or {}),
+    }
+    result["ok"] = (all(rc == 0 for rc in rcs) and result["main_manifest"]
+                    and result["procs_agree"] and result["matches_control"])
+    return result
+
+
 def orchestrate(args) -> int:
     import numpy as np
 
@@ -437,9 +545,12 @@ def orchestrate(args) -> int:
             matches_single_process_control=vs_control,
             ok=same_across and vs_control,
         )
-    if args.cli and report["ok"]:
+    if (args.cli or args.metrics) and report["ok"]:
         report["cli_smoke"] = cli_smoke(args)
         report["ok"] = report["ok"] and report["cli_smoke"]["ok"]
+    if args.metrics and report["ok"]:
+        report["metrics_smoke"] = metrics_smoke(args)
+        report["ok"] = report["ok"] and report["metrics_smoke"]["ok"]
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
@@ -460,6 +571,11 @@ def main(argv=None) -> int:
                    help="also run the real `crowdmod train --multihost` CLI "
                         "end-to-end with N processes (the pod runbook "
                         "command)")
+    p.add_argument("--metrics", action="store_true",
+                   help="after the CLI training smoke, run N-process "
+                        "`crowdmod generate-metrics --multihost` against "
+                        "its checkpoint and compare the process-0 CSVs to "
+                        "a single-process control (implies --cli)")
     # worker/control plumbing (set by the orchestrator)
     p.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--control", action="store_true", help=argparse.SUPPRESS)

@@ -104,6 +104,9 @@ def main(argv=None) -> int:
                         "the reference protocol is 64)")
     p.add_argument("--batches-to-use", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--sample-weights", choices=("ema", "raw"), default="ema",
+                   help="Protocol sampling weights (raw = EMA ablation; the "
+                        "nightly gate's deliberate-regression lever).")
     args = p.parse_args(argv)
 
     import yaml
@@ -203,6 +206,7 @@ def main(argv=None) -> int:
             "--metric", "ALL", "--chunk-repd-past-seq", str(args.chunk),
             "--batches-to-use", str(args.batches_to_use),
             "--output-dir", out_dir,
+            "--sample-weights", args.sample_weights,
         ]
         if sampler == "Distilled":
             from crowdmod_tpu.train.distiller import distilled_tag

@@ -159,7 +159,10 @@ def main(argv=None) -> int:
             if time.time() - t0 > args.timeout:
                 proc.kill()
                 raise SystemExit("phase 1 timed out before the kill point")
-            time.sleep(2.0)
+            # Short poll: on toy corpora several epochs can complete per
+            # poll window, so a coarse sleep would overshoot --kill-epoch
+            # (or miss the run entirely if it finishes inside one window).
+            time.sleep(0.2)
         rc1 = proc.wait(timeout=600)  # grace for the emergency save
     finally:
         logf.close()
@@ -174,6 +177,8 @@ def main(argv=None) -> int:
     abort_meta = ckpt.read_metadata(abort_dir) or {}
     report["phase1"] = {
         "rc": rc1, "epochs_logged": len(phase1),
+        "killed_at_epoch": killed_at,
+        "kill_overshoot_epochs": killed_at - args.kill_epoch,
         "wall_s": round(time.time() - t0, 1),
         "first_loss": phase1[0]["train_loss"],
         "last_loss": phase1[-1]["train_loss"],
@@ -235,6 +240,7 @@ def main(argv=None) -> int:
         )
     checks["plateau_state_resumed"] = bool(
         phase2[0].get("lr") is not None
+        and phase1[-1].get("lr") is not None
         and abs(phase2[0]["lr"] - phase1[-1]["lr"]) <= 1e-12
     )
     report["lr"] = {"base": base_lr, "pre_kill": phase1[-1].get("lr"),
