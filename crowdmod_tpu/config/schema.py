@@ -121,6 +121,11 @@ class DDPMSchema:
     # model evaluations on a respaced 0..T-1 grid (endpoints included).
     ETA: float = 1.0
     ETA_STEPS: int = opt(50, positive=True)
+    # "Distilled" sampler knobs: the student's step count and an optional
+    # eta>0 for stochastic steps on the distill grid (the grid's respaced
+    # posterior noise — the few-step stochastic serving class).
+    DISTILL_STEPS: int = opt(8, positive=True)
+    DISTILL_ETA: float = 0.0
     LAMBDA_GUIDANCE: float = 0.0
     # Classifier-free guidance: training-time condition dropout probability
     # and sampling-time guidance scale (1.0 = plain conditional, off).

@@ -308,10 +308,9 @@ def ddim_eta_sample(
     ``taus`` is an ascending int32 subset of [0, T-1]; sampling starts from
     N(0, I) at ``taus[-1]`` and the last step maps ``taus[0] -> x0``.
     """
-    if guidance not in ("None", None, "Sparsity"):
+    if guidance not in GUIDANCE_MODES and guidance is not None:
         raise ValueError(
-            f"ddim_eta_sample supports Sparsity/None guidance only; got "
-            f"{guidance!r}"
+            f"unknown guidance {guidance!r}; expected {GUIDANCE_MODES}"
         )
     k_init, k_loop = jax.random.split(key)
     x0_noise = jax.random.normal(k_init, sample_shape, dtype=jnp.float32)
@@ -342,6 +341,14 @@ def ddim_eta_sample(
         if guidance == "Sparsity":
             x = x - lambda_guidance * jnp.sqrt(sched.beta[t]) * \
                 sparsity_gradient(x)
+        elif guidance == "mass_preservation":
+            # Beyond-reference: the reference's DDIM is Sparsity-only
+            # (ddpm.py:267-271).  The per-step strength analogue of the
+            # ancestral (1 - alpha_t) is the respaced transition's
+            # 1 - abar_t/abar_prev.
+            x = x - (1.0 - ab_t / ab_p) * mass_preservation_gradient(
+                x, 1.0, 1.0
+            )
         return x, (x if history else None)
 
     x_final, traj = jax.lax.scan(body, x0_noise, (ts, t_prev))

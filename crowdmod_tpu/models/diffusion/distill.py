@@ -182,25 +182,51 @@ def distilled_sample(
     sample_shape: tuple[int, ...],
     n_steps: int,
     *,
+    eta: float = 0.0,
     history: bool = False,
 ) -> jnp.ndarray:
-    """Few-step deterministic sampler for a distilled student: one
-    ``lax.scan`` over the ``n_steps`` grid of :func:`distill_grid`.
+    """Few-step sampler for a distilled student: one ``lax.scan`` over the
+    ``n_steps`` grid of :func:`distill_grid`.
 
     The chain starts from N(0, I) at ``grid[n] = T-1`` (where
-    ``alpha_bar ~ 0``) and each step is the same :func:`ddim_det_step` the
-    distillation targets were built from, so sampling is consistent with
-    training by construction.
+    ``alpha_bar ~ 0``).  ``eta == 0`` takes the same :func:`ddim_det_step`
+    the distillation targets were built from, so sampling is consistent
+    with training by construction.  ``eta > 0`` injects the grid's respaced
+    posterior noise per step (Song et al. Eq. 12 sigma, as in
+    ``ddim_eta_sample``) using the student's grid-point eps predictions —
+    the stochastic few-step serving class (VALIDATION.md round 5: per-step
+    noise breaks the coherent bias integration that caps deterministic
+    few-step chains at protocol scale).
     """
     grid = distill_grid(sched.timesteps, n_steps)
-    x0 = jax.random.normal(key, sample_shape, dtype=jnp.float32)
+    k_init, k_loop = jax.random.split(key)
+    x0 = jax.random.normal(k_init, sample_shape, dtype=jnp.float32)
     b = sample_shape[0]
 
     def body(x, k):
         t_hi = grid[k]
+        t_lo = grid[k - 1]
         t_vec = jnp.full((b,), t_hi, dtype=jnp.int32)
         eps = denoise_fn(x, t_vec, past)
-        x = ddim_det_step(sched, x, eps, t_hi, grid[k - 1])
+        if eta == 0.0:
+            x = ddim_det_step(sched, x, eps, t_hi, t_lo)
+        else:
+            ab_hi = sched.alpha_bar[t_hi]
+            ab_lo = jnp.where(
+                t_lo >= 0, sched.alpha_bar[jnp.maximum(t_lo, 0)], 1.0
+            )
+            sigma = eta * jnp.sqrt(
+                jnp.clip((1.0 - ab_lo) / (1.0 - ab_hi), 0.0)
+            ) * jnp.sqrt(jnp.clip(1.0 - ab_hi / ab_lo, 0.0))
+            pred_x0 = (x - jnp.sqrt(1.0 - ab_hi) * eps) / jnp.sqrt(ab_hi)
+            direction = jnp.sqrt(
+                jnp.clip(1.0 - ab_lo - sigma**2, 0.0)
+            ) * eps
+            z = jax.random.normal(
+                jax.random.fold_in(k_loop, t_hi), x.shape, dtype=x.dtype
+            )
+            z = jnp.where(t_lo >= 0, z, jnp.zeros_like(z))
+            x = jnp.sqrt(ab_lo) * pred_x0 + direction + sigma * z
         return x, (x if history else None)
 
     ks = jnp.arange(n_steps, 0, -1)

@@ -725,7 +725,9 @@ class Trainer:
 
                 return distilled_sample(
                     self._denoise_fn(params), self.sched, past, key, shape,
-                    node.get("DISTILL_STEPS", 8), history=history,
+                    node.get("DISTILL_STEPS", 8),
+                    eta=float(node.get("DISTILL_ETA", 0.0)),
+                    history=history,
                 )
             if node.SAMPLER != "DDPM":
                 raise ValueError(f"unknown DDPM sampler {node.SAMPLER!r}")

@@ -63,7 +63,7 @@ _SLOW_MODULES = {
     "test_dit2d_torch_parity", "test_dit4d_joint_torch_parity",
     "test_dit4d_tube_torch_parity", "test_dit_torch_parity",
     "test_unet_torch_parity", "test_reference_parity",
-    "test_etl_reference_oracle",
+    "test_etl_reference_oracle", "test_etl_drill",
     "test_trainer", "test_serving", "test_cli", "test_ddpm_e2e",
     "test_tools", "test_comparison_tools", "test_validate",
     "test_fixed_crowd_tool", "test_protocol_parity",

@@ -86,7 +86,16 @@ def test_cli_doctor(capsys):
 def test_cli_doctor_compile_cache_warm(tmp_path):
     """VERDICT r3 #8: the second doctor run on a machine must be served from
     the persistent XLA cache.  Two fresh interpreters share a temp cache dir;
-    the first persists entries (cold), the second adds none (warm)."""
+    the first persists entries (cold), the second adds none (warm).
+
+    Round-5 hardening (VERDICT r4 weak #1): the round-4 end-of-round flake
+    was this test's subprocesses silently routing to the TPU tunnel — the
+    deploy-host site hook overrode JAX_PLATFORMS=cpu via jax.config, so each
+    doctor run paid ~100 s tunnel init + remote compiles and could blow its
+    600 s budget under load.  crowdmod_tpu/__init__ now re-asserts the env
+    var (the fix); belt-and-braces here, one retry if the host OOM/SIGKILLs
+    a run on this 1-CPU box.
+    """
     import subprocess
     import sys
 
@@ -100,12 +109,25 @@ def test_cli_doctor_compile_cache_warm(tmp_path):
     }
     env.pop("JAX_COMPILATION_CACHE_DIR", None)  # conftest's test-run cache
     cmd = [sys.executable, "-m", "crowdmod_tpu.cli", "doctor", "--skip-mesh"]
-    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                        timeout=600, cwd=REPO_ROOT)
+
+    def doctor_run(reset_cache_on_retry=False):
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                           timeout=600, cwd=REPO_ROOT)
+        if r.returncode == -9:  # SIGKILLed by the host (load/OOM), not us
+            if reset_cache_on_retry:
+                # A killed first run may have part-populated the cache,
+                # which would turn the cold assertion flaky.
+                import shutil
+
+                shutil.rmtree(tmp_path / "xla", ignore_errors=True)
+            r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                               timeout=600, cwd=REPO_ROOT)
+        return r
+
+    r1 = doctor_run(reset_cache_on_retry=True)
     assert r1.returncode == 0, r1.stdout + r1.stderr
     assert "cache cold" in r1.stdout, r1.stdout
-    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                        timeout=600, cwd=REPO_ROOT)
+    r2 = doctor_run()
     assert r2.returncode == 0, r2.stdout + r2.stderr
     assert "cache warm" in r2.stdout, r2.stdout
 

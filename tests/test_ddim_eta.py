@@ -129,12 +129,26 @@ def test_respaced_taus_endpoints_and_bounds():
         respaced_taus(10, 11)
 
 
-def test_ddim_eta_rejects_mass_guidance():
+def test_ddim_eta_guidance_modes():
+    """Round 5 (VERDICT r4 item 7): mass-preservation guidance now composes
+    with the respaced eta-DDIM chain (beyond the reference's Sparsity-only
+    DDIM, ddpm.py:267-271); unknown modes still raise."""
     sched = linear_schedule(10)
+    key = jax.random.PRNGKey(0)
+    base = ddim_eta_sample(
+        lambda x, t, c: 0.1 * x, sched, None, key, SHAPE,
+        respaced_taus(10, 4),
+    )
+    guided = ddim_eta_sample(
+        lambda x, t, c: 0.1 * x, sched, None, key, SHAPE,
+        respaced_taus(10, 4), guidance="mass_preservation",
+    )
+    assert bool(jnp.isfinite(guided).all())
+    assert not np.allclose(np.asarray(base), np.asarray(guided))
     with pytest.raises(ValueError):
         ddim_eta_sample(
-            lambda x, t, c: x, sched, None, jax.random.PRNGKey(0),
-            SHAPE, respaced_taus(10, 4), guidance="mass_preservation",
+            lambda x, t, c: x, sched, None, key,
+            SHAPE, respaced_taus(10, 4), guidance="Bogus",
         )
 
 

@@ -154,6 +154,45 @@ def test_distilled_sample_shapes_history_and_determinism():
     np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(final))
 
 
+def test_distilled_sample_eta_stochastic_on_grid():
+    """eta>0 injects the grid's respaced posterior noise: finite output,
+    differs from the deterministic chain, eta=0 path unchanged, and the
+    last transition (t_lo = -1) stays noise-free by construction."""
+    sched = linear_schedule(50, scale=0.5)
+
+    def denoise(x, t, past):
+        return 0.1 * x
+
+    shape = (4, F, H, W, C)
+    key = jax.random.PRNGKey(5)
+    det = distilled_sample(denoise, sched, None, key, shape, 4)
+    sto = distilled_sample(denoise, sched, None, key, shape, 4, eta=1.0)
+    assert sto.shape == shape and bool(jnp.isfinite(sto).all())
+    assert not np.allclose(np.asarray(det), np.asarray(sto))
+    # eta passed as 0.0 compiles to the identical deterministic chain.
+    det2 = distilled_sample(denoise, sched, None, key, shape, 4, eta=0.0)
+    np.testing.assert_allclose(np.asarray(det), np.asarray(det2), atol=0)
+
+    # Single-step chain: the only transition lands on clean data (t_lo=-1),
+    # so eta must have no effect there.
+    one_det = distilled_sample(denoise, sched, None, key, shape, 1)
+    one_sto = distilled_sample(denoise, sched, None, key, shape, 1, eta=1.0)
+    np.testing.assert_allclose(
+        np.asarray(one_det), np.asarray(one_sto), atol=1e-6
+    )
+
+
+def test_distilled_eta_sampler_spec():
+    from crowdmod_tpu.utils.sampler_spec import sampler_overrides
+
+    assert sampler_overrides("Distilled-eta:1.0:8") == {
+        "SAMPLER": "Distilled", "DISTILL_ETA": 1.0, "DISTILL_STEPS": 8,
+    }
+    assert sampler_overrides("Distilled") == {"SAMPLER": "Distilled"}
+    with pytest.raises(ValueError, match="Distilled-eta"):
+        sampler_overrides("Distilled-eta:8")
+
+
 # ---------------------------------------------------------------------------
 # End-to-end: distill a trained tiny DDPM and beat the undistilled few-step
 # sampler at the same step budget.

@@ -44,6 +44,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--out", default="/tmp/etl_drill")
     p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--lr", type=float, default=2e-4,
+                   help="solver LR override (the 4test default 5e-5 needs "
+                        "~40 epochs to clear the criterion; 2e-4 does it "
+                        "in ~16)")
     p.add_argument("--n-frames", type=int, default=240,
                    help="sensor frames per raw file (windows ≈ frames − 8)")
     p.add_argument("--rows", type=int, default=8)
@@ -115,7 +119,8 @@ def main(argv=None) -> int:
                     "BASE_CH": 16, "BASE_CH_MULT": [1, 2],
                     "APPLY_ATTENTION": [False, False],
                     "DROPOUT_RATE": 0.0,
-                    "TRAIN": {"EPOCHS": args.epochs},
+                    "TRAIN": {"EPOCHS": args.epochs,
+                              "SOLVER": {"LR": args.lr}},
                 },
             },
         },
@@ -169,6 +174,8 @@ def main(argv=None) -> int:
     from crowdmod_tpu.metrics import functional as F
     from crowdmod_tpu.train.trainer import Trainer
 
+    # Re-load with the DATA_LIST merged in (what the train subprocess saw).
+    cfg = load_config(cfg_path, list_path)
     trainer = Trainer(cfg, args.arch, seed=args.seed)
     trainer.setup()
     test_ds = get_test_dataset(cfg, trainer.mprops_count, seed=args.seed)

@@ -179,12 +179,23 @@ def main(argv=None) -> int:
     report["train_wall_s"] = round(time.time() - t0, 1)
     print(f"trained DDPM-DiT in {report['train_wall_s']}s", flush=True)
 
-    if "Distilled" in args.samplers:
+    def _distill_steps(spec):
+        """'Distilled' → 8; 'Distilled-eta:ETA:N' → N; else None."""
+        if spec == "Distilled":
+            return 8
+        if spec.startswith("Distilled-eta:"):
+            return int(spec.split(":")[2])
+        return None
+
+    distill_counts = sorted({
+        n for n in map(_distill_steps, args.samplers) if n is not None
+    })
+    for n in distill_counts:
         t0 = time.time()
-        rc = distill_cli.run(common + ["--steps", "8"])
+        rc = distill_cli.run(common + ["--steps", str(n)])
         assert rc == 0, "distillation failed"
-        report["distill_wall_s"] = round(time.time() - t0, 1)
-        print(f"distilled 8-step student in {report['distill_wall_s']}s",
+        report[f"distill{n}_wall_s"] = round(time.time() - t0, 1)
+        print(f"distilled {n}-step student in {time.time() - t0:.1f}s",
               flush=True)
 
     for sampler in args.samplers:
@@ -208,10 +219,11 @@ def main(argv=None) -> int:
             "--output-dir", out_dir,
             "--sample-weights", args.sample_weights,
         ]
-        if sampler == "Distilled":
+        n_distill = _distill_steps(sampler)
+        if n_distill is not None:
             from crowdmod_tpu.train.distiller import distilled_tag
 
-            argv_m += ["--model-sample-to-load", distilled_tag(8)]
+            argv_m += ["--model-sample-to-load", distilled_tag(n_distill)]
         t0 = time.time()
         rc = generate_metrics.run(argv_m)
         wall = time.time() - t0
