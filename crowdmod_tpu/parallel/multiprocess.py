@@ -132,12 +132,27 @@ def global_batch(local: Any, mesh) -> Any:
 def process_allgather(tree: Any) -> Any:
     """Gather a (possibly cross-host-sharded) pytree to full host-local numpy
     arrays on EVERY process — the pre-step for process-0 checkpoint commit of
-    FSDP-sharded state."""
+    FSDP-sharded state.
+
+    Per-leaf dispatch: only leaves with non-addressable shards (sharded or
+    replicated over the global mesh) go through the collective gather.
+    Host-local leaves — python/numpy scalars and single-device arrays such
+    as the plateau scheduler's injected LR — are identical on every process
+    already; multihost_utils' tiled gather would CONCATENATE those across
+    processes, silently turning scalars into ``(nprocs,)`` arrays inside
+    checkpoints (round-5 bug: reloading a multihost-trained checkpoint then
+    crashed on ``float(lr)``).
+    """
     if jax.process_count() == 1:
         return jax.device_get(tree)
     from jax.experimental import multihost_utils
 
-    return multihost_utils.process_allgather(tree, tiled=True)
+    def leaf(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return multihost_utils.process_allgather(x, tiled=True)
+        return jax.device_get(x)
+
+    return jax.tree.map(leaf, tree)
 
 
 def all_processes_equal(value, *, atol: float = 0.0, name: str = "value") -> bool:

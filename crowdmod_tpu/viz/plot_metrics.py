@@ -54,7 +54,15 @@ def boxplot(data: dict[str, np.ndarray], title: str, save_path: str,
                             ha="center", fontsize=8)
     if ytick_step:
         lo, hi = ax.get_ylim()
-        ax.set_yticks(np.arange(np.floor(lo), hi + ytick_step, ytick_step))
+        # Cap the fixed-step tick count: eps-regularized metrics
+        # (RE_DENSITY on near-empty ground-truth cells) can span 1e6+, and
+        # asking matplotlib for millions of tick artists spins for hours
+        # (round-5 hang in the multihost metrics dryrun).  Past the cap,
+        # matplotlib's auto-locator is the sane rendering.
+        if np.isfinite([lo, hi]).all() and (hi - lo) / ytick_step <= 200:
+            ax.set_yticks(
+                np.arange(np.floor(lo), hi + ytick_step, ytick_step)
+            )
     ax.set_title(title)
     ax.grid(True, alpha=0.3)
     fig.tight_layout()

@@ -23,13 +23,14 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOOL = os.path.join(REPO_ROOT, "tools", "dryrun_multihost.py")
 
 
-def _run(tmp_path, *extra):
+def _run(tmp_path, *extra, timeout=570):
     out = str(tmp_path / "dmh")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS",)}  # workers set their own device count
     proc = subprocess.run(
         [sys.executable, TOOL, "--out", out, *extra],
-        capture_output=True, text=True, timeout=570, env=env, cwd=REPO_ROOT,
+        capture_output=True, text=True, timeout=timeout, env=env,
+        cwd=REPO_ROOT,
     )
     report_path = os.path.join(out, "report.json")
     report = json.load(open(report_path)) if os.path.exists(report_path) else {}
@@ -75,6 +76,28 @@ def test_two_process_cli_train_multihost(tmp_path):
     assert smoke["ok"] is True
     assert smoke["no_partial_commits"] is True
     assert smoke["main_owns_run"] is True
+
+
+@pytest.mark.nightly
+def test_two_process_cli_generate_metrics_multihost(tmp_path):
+    """VERDICT r4 item 5: the pod runbook covers EVALUATION too.  After the
+    CLI training smoke, 2 OS processes run ``crowdmod generate-metrics
+    --multihost --data-parallel`` against its checkpoint: the protocol
+    batch shards over the global data axis, process 0 commits the
+    CSV/manifest, the secondary's scratch artifacts agree exactly, and the
+    CSVs match a single-process control at the same global mesh size.
+    (Also regression-covers the round-5 process_allgather fix: reloading a
+    multihost-trained checkpoint must not see (nprocs,)-stacked scalars.)"""
+    # Four phases (library workers + control, CLI train smoke, metrics
+    # control, N-proc metrics): ~11 min on this 1-CPU host.
+    proc, report = _run(tmp_path, "--nprocs", "2", "--metrics", timeout=1500)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert report["ok"] is True
+    smoke = report["metrics_smoke"]
+    assert smoke["ok"] is True
+    assert smoke["procs_agree"] is True
+    assert smoke["matches_control"] is True
+    assert smoke["metric_arrays"] >= 18
 
 
 def test_initialize_partial_env_is_a_labeled_error(monkeypatch):

@@ -123,6 +123,23 @@ def test_loss_and_density_plots(tmp_path):
     assert os.path.getsize(p2) > 0
 
 
+def test_boxplot_huge_range_does_not_tick_explode(tmp_path):
+    """Round-5 regression: eps-regularized metrics (RE_DENSITY on empty GT
+    cells) reach 1e6+; a fixed ytick_step then asked matplotlib for
+    millions of tick artists — effectively a hang.  Past 200 ticks the
+    auto-locator takes over; the plot must render in bounded time."""
+    import time
+
+    from crowdmod_tpu.viz.plot_metrics import boxplot
+
+    data = {"re": np.array([0.1, 2.0, 1.5e6, 3.0e6]),
+            "inf": np.array([np.inf, 1.0, 2.0])}
+    t0 = time.time()
+    boxplot(data, "huge-range", str(tmp_path / "bp.png"), ytick_step=2)
+    assert time.time() - t0 < 30
+    assert os.path.getsize(tmp_path / "bp.png") > 0
+
+
 def test_name_helpers():
     assert make_short_name("DDPM-UNet_ATC_TE200_DDIM_10") == "DDPM-UNet-DDIM10"
     assert make_short_name("DDPM-UNet_ATC_TE200") == "DDPM-UNet"

@@ -274,6 +274,16 @@ def _cpu_env(n_local: int, extra: dict | None = None) -> dict:
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": f"--xla_force_host_platform_device_count={n_local}",
         "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        # All harness subprocesses share one persistent compile cache: the
+        # control and the N workers build near-identical programs, and on a
+        # loaded 1-CPU host the repeat compiles are the wall-clock risk.
+        "JAX_COMPILATION_CACHE_DIR": (
+            os.environ.get("JAX_COMPILATION_CACHE_DIR")  # pytest's cache
+            or os.environ.get("CROWDMOD_DRYRUN_CACHE")
+            or "/tmp/crowdmod_dryrun_xla_cache"
+        ),
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.2",
+        "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES": "0",
     })
     if extra:
         env.update(extra)
@@ -390,12 +400,16 @@ def metrics_smoke(args) -> dict:
 
     # Single-process control on the same global device count.
     ctrl_dir = os.path.join(out, "metrics_ctrl")
-    r = subprocess.run(
-        [sys.executable, "-m", "crowdmod_tpu.cli", "generate-metrics",
-         *common, "--output-dir", ctrl_dir],
-        env=_cpu_env(n_global), capture_output=True, text=True,
-        timeout=args.timeout, cwd=REPO,
-    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "crowdmod_tpu.cli", "generate-metrics",
+             *common, "--output-dir", ctrl_dir],
+            env=_cpu_env(n_global), capture_output=True, text=True,
+            timeout=args.timeout, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        print("--- metrics control TIMED OUT ---")
+        return {"ok": False, "control_timeout": True}
     if r.returncode != 0:
         print(f"--- metrics control (rc={r.returncode}) ---\n"
               f"{(r.stdout + r.stderr)[-3000:]}")

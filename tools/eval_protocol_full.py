@@ -107,6 +107,10 @@ def main(argv=None) -> int:
     p.add_argument("--sample-weights", choices=("ema", "raw"), default="ema",
                    help="Protocol sampling weights (raw = EMA ablation; the "
                         "nightly gate's deliberate-regression lever).")
+    p.add_argument("--skip-train", action="store_true",
+                   help="Reuse the checkpoint/corpus already in --out (same "
+                        "seed/scale flags!) and only run the samplers — for "
+                        "follow-up sweeps off one trained model.")
     args = p.parse_args(argv)
 
     import yaml
@@ -173,11 +177,15 @@ def main(argv=None) -> int:
         "samplers": {},
     }
 
-    t0 = time.time()
-    rc = train.run(common + ["--run-dir", os.path.join(args.out, "run")])
-    assert rc == 0, "training failed"
-    report["train_wall_s"] = round(time.time() - t0, 1)
-    print(f"trained DDPM-DiT in {report['train_wall_s']}s", flush=True)
+    if args.skip_train:
+        report["train_wall_s"] = 0.0
+        print("--skip-train: reusing the checkpoint in --out", flush=True)
+    else:
+        t0 = time.time()
+        rc = train.run(common + ["--run-dir", os.path.join(args.out, "run")])
+        assert rc == 0, "training failed"
+        report["train_wall_s"] = round(time.time() - t0, 1)
+        print(f"trained DDPM-DiT in {report['train_wall_s']}s", flush=True)
 
     def _distill_steps(spec):
         """'Distilled' → 8; 'Distilled-eta:ETA:N' → N; else None."""
@@ -189,7 +197,7 @@ def main(argv=None) -> int:
 
     distill_counts = sorted({
         n for n in map(_distill_steps, args.samplers) if n is not None
-    })
+    }) if not args.skip_train else []
     for n in distill_counts:
         t0 = time.time()
         rc = distill_cli.run(common + ["--steps", str(n)])

@@ -423,14 +423,19 @@ def main():
     medium["METRICS"]["MOTION_FEATURE"]["GAMMA"] = 2.0
     write(OUT / "ATC_medium.yml", medium)
 
-    # Quality-pinned serving config (VALIDATION.md round 4): the
+    # Quality-pinned serving config (VALIDATION.md rounds 4-5): the
     # protocol-best fast sampler — stochastic eta-DDIM on 25 respaced
-    # steps (38.9 dB PSNR at the 1280-sample protocol, +4.5 dB over
-    # ancestral T=1000 at 8.3x the throughput) — with the v-parameterized
-    # training target and EMA sampling weights that produced it.
+    # steps — COMPOSED with sparsity guidance at the round-5 swept peak
+    # (λ=0.6: 42.8 dB PSNR / 0.920 SSIM at the 1280-sample protocol vs
+    # 38.9 unguided; plateau 0.4-0.8, full ladder in VALIDATION.md round
+    # 5) — with the v-parameterized training target and EMA sampling
+    # weights that produced it.  λ is calibrated on the synthetic protocol
+    # corpus; re-run tools/lambda_sweep.py + the protocol on real data
+    # before production (ROADMAP.md).
     serving = dataset_cfg("ATC", DATASETS["ATC"])
     serving["MODEL"]["DDPM"].update(
         SAMPLER="DDIM-eta", ETA=1.0, ETA_STEPS=25, PRED_TYPE="v",
+        GUIDANCE="Sparsity", LAMBDA_GUIDANCE=0.6,
     )
     serving["MODEL"]["DDPM"]["DIT"]["TRAIN"]["EMA_DECAY"] = 0.999
     serving["MODEL"]["DDPM"]["UNET"]["TRAIN"]["EMA_DECAY"] = 0.999
@@ -456,6 +461,12 @@ def main():
 
     # W&B-shaped sweep config (reference config/sweep_config.yaml role),
     # generated from the same search space `crowdmod sweep` uses.
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
     from crowdmod_tpu.cli.sweep import wandb_sweep_configuration
     write(OUT / "sweep_config.yaml", wandb_sweep_configuration("DDPM-UNet"))
 

@@ -29,7 +29,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-SAMPLERS = ["DDPM", "DDIM-eta:1.0:10", "DDIM-eta:0.0:10"]
+SAMPLERS = ["DDPM", "DDIM-eta:1.0:10", "DDIM-eta:0.0:10",
+            "DDIM-eta:1.0:10+Sparsity:0.4"]
 GATE_ARGS = [
     "--timesteps", "100", "--train-epochs", "25", "--pred-type", "v",
     "--ema-decay", "0.999", "--files", "3", "--per-file", "24",
