@@ -65,11 +65,20 @@ def run(argv=None) -> int:
         return 2
     os.makedirs(pkl_dir, exist_ok=True)
 
+    def _require_dir(path, what, how):
+        if not path:
+            logging.error("no %s dir: set %s", what, how)
+            return False
+        if not os.path.isdir(path):
+            logging.error("%s dir %s does not exist (%s)", what, path, how)
+            return False
+        return True
+
     if not args.skip_aggregate:
         raw_dir = args.raw_dir or cfg.DATA_FS.RAW_DATA_DIR
-        if not raw_dir:
-            logging.error("no raw dir: set DATA_FS.RAW_DATA_DIR or "
-                          "--raw-dir (or pass --skip-aggregate)")
+        if not _require_dir(raw_dir, "raw",
+                            "DATA_FS.RAW_DATA_DIR or --raw-dir "
+                            "(or pass --skip-aggregate)"):
             return 2
         files = args.files or sorted(
             f for f in os.listdir(raw_dir) if f.endswith(".csv")
@@ -82,6 +91,9 @@ def run(argv=None) -> int:
                      len(files), raw_dir, agg_dir)
         etl.aggregate_atc_files(cfg, files, in_dir=raw_dir, out_dir=agg_dir)
     else:
+        if not _require_dir(agg_dir, "agg",
+                            "DATA_FS.AGG_DATA_DIR or --agg-dir"):
+            return 2
         files = args.files or sorted(
             f for f in os.listdir(agg_dir) if f.endswith(".csv")
         )

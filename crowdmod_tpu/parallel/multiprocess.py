@@ -147,12 +147,22 @@ def process_allgather(tree: Any) -> Any:
         return jax.device_get(tree)
     from jax.experimental import multihost_utils
 
-    def leaf(x):
-        if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            return multihost_utils.process_allgather(x, tiled=True)
-        return jax.device_get(x)
-
-    return jax.tree.map(leaf, tree)
+    leaves, treedef = jax.tree.flatten(tree)
+    needs_gather = [
+        isinstance(x, jax.Array) and not x.is_fully_addressable
+        for x in leaves
+    ]
+    # ONE tree-level collective for the whole non-addressable subtree (an
+    # FSDP state is hundreds of leaves; per-leaf gathers would pay per-call
+    # dispatch each) — host-local leaves just device_get.
+    gathered = iter(multihost_utils.process_allgather(
+        tuple(x for x, g in zip(leaves, needs_gather) if g), tiled=True
+    )) if any(needs_gather) else iter(())
+    out = [
+        next(gathered) if g else jax.device_get(x)
+        for x, g in zip(leaves, needs_gather)
+    ]
+    return jax.tree.unflatten(treedef, out)
 
 
 def all_processes_equal(value, *, atol: float = 0.0, name: str = "value") -> bool:

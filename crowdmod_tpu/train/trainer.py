@@ -696,7 +696,15 @@ class Trainer:
                 )
             if node.SAMPLER == "DPM-Solver":
                 # Fast multistep solver (extension beyond the reference's
-                # DDPM/DDIM; models/diffusion/dpm_solver.py).
+                # DDPM/DDIM; models/diffusion/dpm_solver.py).  Guidance is
+                # not implemented on this path — reject rather than run
+                # unguided under a guided config (the Distilled rule).
+                if node.GUIDANCE not in ("None", None):
+                    raise ValueError(
+                        "the DPM-Solver sampler does not implement "
+                        f"guidance; got GUIDANCE={node.GUIDANCE!r} — use "
+                        "DDPM, DDIM, or DDIM-eta for guided sampling"
+                    )
                 from crowdmod_tpu.models.diffusion import dpm_solver_sample
 
                 return dpm_solver_sample(

@@ -39,6 +39,15 @@ def sampler_overrides(spec: str) -> dict:
         over = sampler_overrides(spec)
         over["GUIDANCE"] = gname
         if lam_s:
+            if gname == "mass_preservation":
+                # Both mass-preservation implementations use fixed
+                # schedule-derived strengths (ddpm.py _apply_guidance /
+                # ddim_eta_sample) — a lambda here would be a silent no-op,
+                # so reject it instead of sweeping nothing.
+                raise ValueError(
+                    "mass_preservation guidance takes no lambda (its "
+                    "strength is schedule-derived); use '+mass_preservation'"
+                )
             try:
                 over["LAMBDA_GUIDANCE"] = float(lam_s)
             except ValueError:

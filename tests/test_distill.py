@@ -193,6 +193,27 @@ def test_distilled_eta_sampler_spec():
         sampler_overrides("Distilled-eta:8")
 
 
+def test_guidance_suffix_sampler_spec():
+    from crowdmod_tpu.utils.sampler_spec import sampler_overrides
+
+    over = sampler_overrides("DDIM-eta:1.0:25+Sparsity:0.6")
+    assert over["GUIDANCE"] == "Sparsity"
+    assert over["LAMBDA_GUIDANCE"] == 0.6
+    # Guidance suffixes parse on Distilled specs too (dispatch rejects them
+    # later); the step count must survive the suffix.
+    over = sampler_overrides("Distilled-eta:1.0:8+Sparsity:0.4")
+    assert over["DISTILL_STEPS"] == 8
+    # mass_preservation has no lambda knob — a silent no-op sweep is worse
+    # than an error.
+    assert sampler_overrides("DDPM+mass_preservation") == {
+        "SAMPLER": "DDPM", "GUIDANCE": "mass_preservation",
+    }
+    with pytest.raises(ValueError, match="no lambda"):
+        sampler_overrides("DDPM+mass_preservation:0.1")
+    with pytest.raises(ValueError, match="guidance suffix"):
+        sampler_overrides("DDPM+Bogus:0.1")
+
+
 # ---------------------------------------------------------------------------
 # End-to-end: distill a trained tiny DDPM and beat the undistilled few-step
 # sampler at the same step budget.

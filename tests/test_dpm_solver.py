@@ -77,6 +77,24 @@ def test_trainer_dpm_sampler_path(smoke_cfg, tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_trainer_dpm_rejects_guided_config(smoke_cfg, tmp_path):
+    """Round-5 guard: DPM-Solver implements no guidance, so a guided config
+    must error instead of silently sampling unguided under a guided label
+    (the Distilled-sampler rule)."""
+    from tests.test_trainer import tiny_cfg
+    from crowdmod_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg(smoke_cfg, tmp_path).updated(
+        {"MODEL": {"DDPM": {"SAMPLER": "DPM-Solver", "DPM_STEPS": 5,
+                            "GUIDANCE": "Sparsity",
+                            "LAMBDA_GUIDANCE": 0.1}}}
+    )
+    tr = Trainer(cfg, "DDPM-UNet", run_dir=str(tmp_path / "run")).setup()
+    past = jnp.zeros((2, 5, 8, 12, 3))
+    with pytest.raises(ValueError, match="DPM-Solver.*guidance"):
+        tr.sample(past, jax.random.PRNGKey(0))
+
+
 def test_dpm_steps_exceeding_timesteps_rejected():
     """steps ≥ TIMESTEPS would repeat a rounded timestep → h = 0 → NaNs;
     the sampler must refuse up front."""

@@ -188,16 +188,32 @@ def main(argv=None) -> int:
         print(f"trained DDPM-DiT in {report['train_wall_s']}s", flush=True)
 
     def _distill_steps(spec):
-        """'Distilled' → 8; 'Distilled-eta:ETA:N' → N; else None."""
-        if spec == "Distilled":
-            return 8
-        if spec.startswith("Distilled-eta:"):
-            return int(spec.split(":")[2])
-        return None
+        """Student step count for a Distilled-family spec, else None.
+        Parses via sampler_overrides so guidance suffixes don't break it
+        (the Distilled sampler itself rejects guidance at dispatch)."""
+        from crowdmod_tpu.utils.sampler_spec import sampler_overrides
 
+        over = sampler_overrides(spec)
+        if over.get("SAMPLER") != "Distilled":
+            return None
+        return int(over.get("DISTILL_STEPS", 8))
+
+    def _have_student(n):
+        from crowdmod_tpu.train import checkpoint as ckpt_mod
+        from crowdmod_tpu.train.distiller import distilled_tag
+
+        return os.path.isdir(os.path.join(
+            cfg.DATA_FS.SAVE_DIR,
+            ckpt_mod.checkpoint_name(cfg, "DDPM-DiT", distilled_tag(n)),
+        ))
+
+    # --skip-train reuses the base checkpoint but still distills any
+    # requested student whose checkpoint is missing (follow-up sweeps may
+    # introduce new step counts).
     distill_counts = sorted({
-        n for n in map(_distill_steps, args.samplers) if n is not None
-    }) if not args.skip_train else []
+        n for n in map(_distill_steps, args.samplers)
+        if n is not None and not (args.skip_train and _have_student(n))
+    })
     for n in distill_counts:
         t0 = time.time()
         rc = distill_cli.run(common + ["--steps", str(n)])

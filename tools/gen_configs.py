@@ -441,6 +441,19 @@ def main():
     serving["MODEL"]["DDPM"]["UNET"]["TRAIN"]["EMA_DECAY"] = 0.999
     write(OUT / "serving" / "ATC.yml", serving)
 
+    # Low-latency serving class (round 5): 8-eval stochastic chain —
+    # 36.4 dB at the 1280-sample protocol (within 2.7 dB of the default at
+    # ~1/3 the device time per request), λ re-swept for the short chain
+    # (0.1-0.4 plateau ≈ +0.15 dB; VALIDATION.md round 5).
+    fast = dataset_cfg("ATC", DATASETS["ATC"])
+    fast["MODEL"]["DDPM"].update(
+        SAMPLER="DDIM-eta", ETA=1.0, ETA_STEPS=8, PRED_TYPE="v",
+        GUIDANCE="Sparsity", LAMBDA_GUIDANCE=0.4,
+    )
+    fast["MODEL"]["DDPM"]["DIT"]["TRAIN"]["EMA_DECAY"] = 0.999
+    fast["MODEL"]["DDPM"]["UNET"]["TRAIN"]["EMA_DECAY"] = 0.999
+    write(OUT / "serving" / "ATC_fast.yml", fast)
+
     # FM classifier-free-guidance ship config: the round-3 CFG study's
     # recommendation (CFG_SCALE 3.0, DROP 0.1) as a config artifact instead
     # of VALIDATION.md prose.

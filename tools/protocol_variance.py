@@ -60,6 +60,9 @@ def main(argv=None) -> int:
                    help="also run one raw-weights (EMA-ablated) pass at the "
                         "base seed")
     args = p.parse_args(argv)
+    if args.runs < 2:
+        p.error("--runs must be >= 2 (sample std with ddof=1 needs two "
+                "runs; floors derived from one run would be meaningless)")
 
     os.makedirs(args.out, exist_ok=True)
     rows = []
