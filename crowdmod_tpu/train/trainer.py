@@ -346,6 +346,35 @@ class Trainer:
         aborted = False
         history = {"train_loss": [], "val_loss": [], "lr": [],
                    "aborted": False}
+
+        # Deliver SIGINT only at step boundaries: the train step DONATES
+        # the state buffers, so a KeyboardInterrupt landing mid-dispatch
+        # leaves self.state pointing at deleted arrays and the emergency
+        # save below dies with "Array has been deleted" (round-5 drill
+        # race).  First Ctrl-C sets a flag raised at the next safe point;
+        # a second Ctrl-C interrupts immediately (hung-step escape hatch).
+        import signal as _signal
+
+        deferred = {"sig": False}
+
+        def _defer_sigint(signum, frame):
+            if deferred["sig"]:
+                raise KeyboardInterrupt
+            deferred["sig"] = True
+            logging.warning(
+                "SIGINT received; aborting at the next step boundary "
+                "(press again to interrupt immediately)"
+            )
+
+        def _boundary():
+            if deferred["sig"]:
+                raise KeyboardInterrupt
+
+        prev_handler = None
+        try:
+            prev_handler = _signal.signal(_signal.SIGINT, _defer_sigint)
+        except ValueError:
+            prev_handler = None  # not the main thread; leave delivery as-is
         try:
             for epoch in range(1, epochs + 1):
                 if scan_epoch:
@@ -358,6 +387,7 @@ class Trainer:
                     )
                     key, sub = jax.random.split(key)
                     self.state, losses = epoch_step(self.state, stacked, sub)
+                    _boundary()
                     epoch_loss = float(jnp.mean(losses))
                 else:
                     losses = []
@@ -372,6 +402,7 @@ class Trainer:
                         self.state, loss = self._train_step(
                             self.state, batch, sub
                         )
+                        _boundary()
                         losses.append(loss)
                     epoch_loss = float(jnp.mean(jnp.stack(losses)))
 
@@ -422,6 +453,7 @@ class Trainer:
                 if epoch in late:
                     self.save(save_dir, epoch, extra={"epoch_loss": epoch_loss},
                               async_save=True)
+                _boundary()
             completed = not aborted
             history["aborted"] = aborted
         except BaseException:
@@ -451,6 +483,8 @@ class Trainer:
                     logging.exception("emergency checkpoint failed")
             raise
         finally:
+            if prev_handler is not None:
+                _signal.signal(_signal.SIGINT, prev_handler)
             # A failed async commit must not mask the real training error
             # (or abort the finally before the tracker closes its handles).
             try:
